@@ -1,0 +1,148 @@
+"""PirContext: precomputed device tables for one parameter set.
+
+The TPU-native analog of the reference's ``PIRContext``
+(pir/cpp/context.{h,cpp}) *plus* everything SEAL's ``SEALContext``
+precomputes behind it: NTT twiddle tables per RNS limb, Barrett/Shoup
+constants, Galois automorphism permutations, key-switching scale-down
+constants, and plaintext-lift (Δ) residues.  Client, server, and database
+each build their own context from the shared ``PirParams``, mirroring the
+reference's ownership model (context recreated from the serialized params —
+SURVEY §1 "ownership quirk").
+
+All tables are host-precomputed numpy constants; jitted functions close
+over them, so XLA sees them as literals.
+"""
+
+from __future__ import annotations
+
+import functools
+
+import numpy as np
+
+from pir_tpu.core.params import EncryptionParams, PirParams
+from pir_tpu.ops import modular
+from pir_tpu.ops.ntt import NttTables
+
+
+class PirContext:
+    def __init__(self, params: PirParams):
+        self.params = params
+        self.enc: EncryptionParams = params.encryption_params
+        self.enc.validate()
+
+        n = self.enc.poly_modulus_degree
+        self.n = n
+        self.t = self.enc.plain_modulus
+
+        # RNS chains: key level (QP) and ciphertext level (q).
+        self.key_moduli = self.enc.coeff_modulus
+        self.ct_moduli = self.enc.ct_modulus
+        self.L = len(self.ct_moduli)
+        self.Lp = len(self.key_moduli)
+
+        self.ntt_qp = NttTables(self.key_moduli, n)
+        self.ntt_q = self.ntt_qp.slice(self.L)
+        self.limbs_qp = self.ntt_qp.limbs
+        self.limbs_q = self.ntt_q.limbs
+
+        # Plaintext modulus constants (vector ops mod t).
+        t_hi, t_lo = modular.barrett_ratio(self.t)
+        self.t_u64 = np.uint64(self.t)
+        self.t_ratio_hi = np.uint64(t_hi)
+        self.t_ratio_lo = np.uint64(t_lo)
+
+        # Δ = floor(q/t) residues for plaintext lifting (BFV encrypt).
+        self.q_big = self.enc.q
+        self.delta_big = self.q_big // self.t
+        delta = np.array(
+            [[self.delta_big % m] for m in self.ct_moduli], dtype=np.uint64
+        )
+        self.delta_mod_q = delta
+        self.delta_mod_q_shoup = modular.shoup_precompute(delta, self.limbs_q.q)
+
+        # Key-switching scale-down constants (only with a special prime).
+        self.special = self.enc.special_modulus
+        if self.special is not None:
+            p = self.special
+            p_half = p >> 1
+            self.p_half_u64 = np.uint64(p_half)
+            self.p_half_mod_q = np.array(
+                [[p_half % m] for m in self.ct_moduli], dtype=np.uint64
+            )
+            p_inv = np.array(
+                [[pow(p % m, -1, m)] for m in self.ct_moduli], dtype=np.uint64
+            )
+            self.p_inv_mod_q = p_inv
+            self.p_inv_mod_q_shoup = modular.shoup_precompute(p_inv, self.limbs_q.q)
+            self.p_mod_q = np.array(
+                [[p % m] for m in self.ct_moduli], dtype=np.uint64
+            )
+
+        # CRT reconstruction constants for exact decrypt (host-side).
+        self._crt_punctured = [self.q_big // m for m in self.ct_moduli]
+        self._crt_inv = [
+            pow(self._crt_punctured[i] % m, -1, m)
+            for i, m in enumerate(self.ct_moduli)
+        ]
+
+    # ------------------------------------------------------------------
+    # Permutation tables (Galois automorphisms, negacyclic monomial shifts)
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=None)
+    def galois_permutation(self, galois_elt: int):
+        """(src_index[N] int32, flip_sign[N] bool) for x -> x^galois_elt.
+
+        out[dst] = ±in[src]: semantics of seal::util::apply_galois as used
+        by PIRServer::substitute_power_x_inplace (pir/cpp/server.cpp:67-76).
+        """
+        n = self.n
+        if galois_elt % 2 == 0:
+            raise ValueError("galois element must be odd")
+        src = np.zeros(n, dtype=np.int32)
+        flip = np.zeros(n, dtype=bool)
+        for i in range(n):
+            j = (i * galois_elt) % (2 * n)
+            if j < n:
+                src[j] = i
+                flip[j] = False
+            else:
+                src[j - n] = i
+                flip[j - n] = True
+        return src, flip
+
+    @functools.lru_cache(maxsize=None)
+    def monomial_shift_permutation(self, index: int):
+        """(src_index[N], flip_sign[N]) for multiplication by x^index.
+
+        index in [0, 2N); semantics of
+        seal::util::negacyclic_shift_poly_coeffmod (pir/cpp/server.cpp:97-100).
+        """
+        n = self.n
+        index = index % (2 * n)
+        src = np.zeros(n, dtype=np.int32)
+        flip = np.zeros(n, dtype=bool)
+        for i in range(n):
+            j = (i + index) % (2 * n)
+            if j < n:
+                src[j] = i
+                flip[j] = False
+            else:
+                src[j - n] = i
+                flip[j - n] = True
+        return src, flip
+
+    # ------------------------------------------------------------------
+    # Host-side exact CRT
+    # ------------------------------------------------------------------
+    def crt_lift(self, residues: np.ndarray) -> list[int]:
+        """u64[L, N] RNS residues -> per-coefficient big ints in [0, q)."""
+        residues = np.asarray(residues)
+        out = [0] * residues.shape[-1]
+        for i, m in enumerate(self.ct_moduli):
+            qi = self._crt_punctured[i]
+            inv = self._crt_inv[i]
+            row = residues[i].astype(object)
+            contrib = (row * inv) % m
+            for c in range(len(out)):
+                out[c] = (out[c] + int(contrib[c]) * qi) % self.q_big
+        return out

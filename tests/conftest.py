@@ -1,0 +1,27 @@
+"""Test harness configuration.
+
+All tests run on a simulated 8-device CPU mesh (the standard JAX trick for
+testing sharded code without a TPU pod — SURVEY §4).  The axon sitecustomize
+forces JAX_PLATFORMS=axon at interpreter startup, so we must override via
+jax.config *before any computation runs* — config updates still win at
+backend-selection time.
+"""
+
+import os
+
+os.environ["XLA_FLAGS"] = (
+    os.environ.get("XLA_FLAGS", "") + " --xla_force_host_platform_device_count=8"
+)
+
+import jax
+
+jax.config.update("jax_platforms", "cpu")
+jax.config.update("jax_enable_x64", True)
+
+import numpy as np  # noqa: E402
+import pytest  # noqa: E402
+
+
+@pytest.fixture(scope="session")
+def rng():
+    return np.random.default_rng(42)
