@@ -1,0 +1,113 @@
+"""BFV encryption, decryption, and noise introspection.
+
+Replaces the ``seal::Encryptor``/``Decryptor`` surface the reference uses
+(pir/cpp/client.cpp:137,211,240; pir/cpp/database.cpp:262-269).
+
+Ciphertext layout: ``u64[size, L, N]`` coefficient form (size 2 fresh, 3
+after an unrelinearized multiply).  Encryption math runs through the jitted
+device ops; the final scale-and-round of decryption is exact host-side CRT
+(client-side, off the hot path — the reference likewise leaves decryption
+single-threaded on the client).
+"""
+
+from __future__ import annotations
+
+import numpy as np
+import jax.numpy as jnp
+
+from pir_tpu.bfv import sampling
+from pir_tpu.bfv.keys import PublicKey, SecretKey
+from pir_tpu.core.context import PirContext
+from pir_tpu.ops import modular
+
+
+def lift_plaintext(ctx: PirContext, m: np.ndarray) -> jnp.ndarray:
+    """Δ·m as an RNS poly u64[L, N] (coefficients of m are mod t)."""
+    m64 = jnp.asarray(np.asarray(m, dtype=np.uint64))
+    return modular.mul_mod_shoup(
+        jnp.broadcast_to(m64, (ctx.L, ctx.n)),
+        ctx.delta_mod_q,
+        ctx.delta_mod_q_shoup,
+        ctx.limbs_q.q,
+    )
+
+
+def encrypt(
+    ctx: PirContext, pk: PublicKey, m: np.ndarray, rng: np.random.Generator
+) -> jnp.ndarray:
+    """Fresh encryption of plaintext m (u64[N], mod t) -> u64[2, L, N]."""
+    lq = ctx.limbs_q
+    u = ctx.ntt_q.forward(
+        jnp.asarray(
+            sampling.signed_to_rns(sampling.ternary_poly(rng, ctx.n), ctx.ct_moduli)
+        )
+    )
+    e0 = jnp.asarray(
+        sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
+    )
+    e1 = jnp.asarray(
+        sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
+    )
+    c0 = lq.add(
+        lq.add(ctx.ntt_q.inverse(lq.mul(pk.data[0], u)), e0),
+        lift_plaintext(ctx, m),
+    )
+    c1 = lq.add(ctx.ntt_q.inverse(lq.mul(pk.data[1], u)), e1)
+    return jnp.stack([c0, c1])
+
+
+def encrypt_zero(
+    ctx: PirContext, pk: PublicKey, rng: np.random.Generator
+) -> jnp.ndarray:
+    return encrypt(ctx, pk, np.zeros(ctx.n, dtype=np.uint64), rng)
+
+
+def _phase(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:
+    """c0 + c1·s (+ c2·s² ...) mod q, coefficient form — Horner over s."""
+    size = ct.shape[-3]
+    lq = ctx.limbs_q
+    acc = ct[..., size - 1, :, :]
+    for k in range(size - 2, -1, -1):
+        acc = lq.add(
+            ctx.ntt_q.inverse(lq.mul(ctx.ntt_q.forward(acc), sk.ntt_q)),
+            ct[..., k, :, :],
+        )
+    return np.asarray(acc)
+
+
+def decrypt(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:
+    """Decrypt to a plaintext u64[N] mod t: m = round(t·phase/q) mod t."""
+    phase = _phase(ctx, sk, ct)
+    coeffs = ctx.crt_lift(phase)
+    q = ctx.q_big
+    t = ctx.t
+    half = q >> 1
+    out = np.zeros(ctx.n, dtype=np.uint64)
+    for i, c in enumerate(coeffs):
+        out[i] = ((t * c + half) // q) % t
+    return out
+
+
+def invariant_noise_budget(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> int:
+    """Bits of noise budget left: floor(log2(q / (2·|t·phase mod q|_∞))).
+
+    Semantics of seal::Decryptor::invariant_noise_budget as used by the
+    reference's noise probe (pir/cpp/database.cpp:260-270).  0 means the
+    ciphertext no longer decrypts reliably.
+    """
+    phase = _phase(ctx, sk, ct)
+    coeffs = ctx.crt_lift(phase)
+    q = ctx.q_big
+    t = ctx.t
+    vmax = 0
+    for c in coeffs:
+        r = (t * c) % q
+        if r > q // 2:
+            r = q - r
+        vmax = max(vmax, r)
+    if vmax == 0:
+        return q.bit_length()
+    ratio = q // (2 * vmax)
+    if ratio == 0:
+        return 0
+    return ratio.bit_length() - 1

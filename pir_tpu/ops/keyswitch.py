@@ -1,0 +1,104 @@
+"""Key switching: the kernel behind Galois automorphisms and relinearization.
+
+Replaces ``seal::Evaluator::apply_galois_inplace`` /
+``relinearize_inplace`` (reference call sites pir/cpp/server.cpp:71,
+pir/cpp/database.cpp:209) — the dominant cost of oblivious query expansion
+(the reference notes its ~20x cost over the shift op, server.cpp:134-136).
+
+Pipeline for input polynomial c (coefficient form, ciphertext level q):
+
+1. RNS-decompose: digit i is just limb i of c, viewed in [0, q_i) and
+   re-reduced modulo every key-level prime — [..., L, Lp, N].
+2. Forward NTT over the key chain QP.
+3. Inner product with the switch key: acc_k = Σ_i digit_i ⊙ ksk[i, k].
+4. Inverse NTT, then exact scale-down by the special prime P with centered
+   rounding: out_j = (acc_j - center(acc mod P)) · P⁻¹ mod q_j.
+
+The whole pipeline is batched over arbitrary leading axes — oblivious
+expansion feeds it 2^j ciphertexts at level j in one call.
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pir_tpu.core.context import PirContext
+from pir_tpu.ops import modular, poly
+
+
+def switch_key(ctx: PirContext, ksk, c: jnp.ndarray):
+    """Key-switch c (u64[..., L, N] coeff form) -> (out0, out1) same shape.
+
+    Adding (out0, out1) to a ciphertext replaces a term c·t_key with its
+    encryption under s, where t_key is the switch key's target.
+    """
+    qp = ctx.limbs_qp
+    data = ksk.data  # [L, 2, Lp, N]
+
+    # 1. decompose: limb i of c broadcast to all Lp key primes.
+    digits = modular.barrett_reduce_64(
+        c[..., :, None, :], qp.q, qp.ratio_hi
+    )  # [..., L, Lp, N]
+
+    # 2. NTT over QP (limb axis is second-to-last).
+    digits = ctx.ntt_qp.forward(digits)
+
+    # 3. inner product with the key: [..., L, 1, Lp, N] x [L, 2, Lp, N].
+    prod = modular.mul_mod(
+        digits[..., :, None, :, :],
+        data,
+        qp.q,
+        qp.ratio_hi,
+        qp.ratio_lo,
+    )
+    # Reduced summands (< q_j < 2^61); L terms fit u64 without wrap.
+    acc = modular.barrett_reduce_64(
+        jnp.sum(prod, axis=-4), qp.q, qp.ratio_hi
+    )  # [..., 2, Lp, N]
+
+    # 4. INTT and scale down by P with centered rounding.
+    acc = ctx.ntt_qp.inverse(acc)
+    t_last = acc[..., ctx.Lp - 1 : ctx.Lp, :]  # [..., 2, 1, N], mod P
+    p = jnp.uint64(int(ctx.special))
+    u = t_last + ctx.p_half_u64
+    u = jnp.where(u >= p, u - p, u)
+    lq = ctx.limbs_q
+    u_mod_q = modular.barrett_reduce_64(u, lq.q, lq.ratio_hi)  # [..., 2, L, N]
+    t_bar = modular.sub_mod(u_mod_q, ctx.p_half_mod_q, lq.q)
+    out = modular.mul_mod_shoup(
+        modular.sub_mod(acc[..., : ctx.L, :], t_bar, lq.q),
+        ctx.p_inv_mod_q,
+        ctx.p_inv_mod_q_shoup,
+        lq.q,
+    )
+    return out[..., 0, :, :], out[..., 1, :, :]
+
+
+def apply_galois(ctx: PirContext, galois_keys, ct: jnp.ndarray, galois_elt: int):
+    """Substitution operator x -> x^galois_elt on a ciphertext.
+
+    ct: u64[..., 2, L, N] coefficient form.  Semantics of
+    PIRServer::substitute_power_x_inplace (pir/cpp/server.cpp:67-76).
+    """
+    c0 = poly.galois_transform(ctx, ct[..., 0, :, :], galois_elt)
+    c1 = poly.galois_transform(ctx, ct[..., 1, :, :], galois_elt)
+    k0, k1 = switch_key(ctx, galois_keys[galois_elt], c1)
+    return jnp.stack(
+        [modular.add_mod(c0, k0, ctx.limbs_q.q), k1], axis=-3
+    )
+
+
+def relinearize(ctx: PirContext, relin_keys, ct3: jnp.ndarray) -> jnp.ndarray:
+    """Size-3 -> size-2 ciphertext using the s² switch key.
+
+    ct3: u64[..., 3, L, N] coefficient form (output of ct×ct multiply).
+    """
+    k0, k1 = switch_key(ctx, relin_keys.key, ct3[..., 2, :, :])
+    q = ctx.limbs_q.q
+    return jnp.stack(
+        [
+            modular.add_mod(ct3[..., 0, :, :], k0, q),
+            modular.add_mod(ct3[..., 1, :, :], k1, q),
+        ],
+        axis=-3,
+    )
