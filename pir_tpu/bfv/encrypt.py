@@ -22,14 +22,24 @@ from pir_tpu.ops import modular
 
 
 def lift_plaintext(ctx: PirContext, m: np.ndarray) -> jnp.ndarray:
-    """Δ·m as an RNS poly u64[L, N] (coefficients of m are mod t)."""
-    m64 = jnp.asarray(np.asarray(m, dtype=np.uint64))
-    return modular.mul_mod_shoup(
-        jnp.broadcast_to(m64, (ctx.L, ctx.n)),
-        ctx.delta_mod_q,
-        ctx.delta_mod_q_shoup,
-        ctx.limbs_q.q,
-    )
+    """round(q·m/t) per coefficient, as an RNS poly u64[L, N].
+
+    The exact-rational "scaling variant" SEAL uses for BFV encryption —
+    NOT Δ·m = floor(q/t)·m.  The distinction matters: with Δ·m the encoding
+    error is m·(q mod t)/q per coefficient, which after an *unreduced*
+    message product M = m1·m2 (coefficients up to N·t²) grows to
+    N·t³/q — catastrophically wrong at e.g. t=2^24, q=2^72, N=4096.  With
+    round(q·m/t) the per-coefficient encoding error is ≤ t/(2q) and the
+    product error stays ≪ 1/2.  Host-side big-int math (client-side op).
+    """
+    m_obj = np.asarray(m, dtype=np.uint64).astype(object)
+    q = ctx.q_big
+    t = ctx.t
+    scaled = (m_obj * q + t // 2) // t  # round(q*m/t), exact
+    out = np.zeros((ctx.L, ctx.n), dtype=np.uint64)
+    for li, qi in enumerate(ctx.ct_moduli):
+        out[li] = np.asarray(scaled % qi, dtype=np.uint64)
+    return jnp.asarray(out)
 
 
 def encrypt(

@@ -1,0 +1,79 @@
+"""Oblivious query expansion (Angel et al., SealPIR).
+
+Turns one ciphertext encrypting a packed one-hot polynomial into m
+ciphertexts, the k-th encrypting coefficient k (scaled by
+next_power_two(m) — the client pre-cancels this with an m⁻¹ factor).
+
+Parity with PIRServer::oblivious_expansion (pir/cpp/server.cpp:105-171),
+with the reference's sequencing trick preserved: the substitution operator
+runs once per input ciphertext per level, and the "c1" shift is applied
+*after* substitution with index N + 2^j (server.cpp:129-138).
+
+TPU-native shape: the 2^j ciphertexts at level j are a single batched
+tensor [2^j, 2, L, N]; each level is one batched apply_galois (the
+dominant key-switch matmul-like kernel) plus two sign-permutation gathers
+and two adds.  The level loop is static (log2 m iterations).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pir_tpu.core.context import PirContext
+from pir_tpu.ops import keyswitch, modular, poly
+from pir_tpu.utils.math import ceil_log2, next_power_two
+
+
+def expand_single(
+    ctx: PirContext, galois_keys, ct: jnp.ndarray, num_items: int
+) -> jnp.ndarray:
+    """Expand one ciphertext u64[2, L, N] into u64[num_items, 2, L, N].
+
+    num_items == 0 yields an empty batch (the reference's degenerate last
+    query ciphertext when dim_sum is an exact multiple of N).
+    """
+    n = ctx.n
+    if num_items > n:
+        raise ValueError("cannot expand more items from a CT than poly degree")
+    if num_items == 0:
+        return ct[jnp.newaxis][:0]
+    logm = ceil_log2(num_items)
+    q = ctx.limbs_q.q
+    cts = ct[jnp.newaxis]  # [1, 2, L, N]
+    for j in range(logm):
+        galois_elt = (n >> j) + 1
+        sub = keyswitch.apply_galois(ctx, galois_keys, cts, galois_elt)
+        # new upper half: c·x^{-2^j} + Sub(c)·x^{-(N+2^j)}
+        lower = modular.add_mod(
+            poly.multiply_inverse_power_of_x(ctx, cts, 1 << j),
+            poly.multiply_inverse_power_of_x(ctx, sub, n + (1 << j)),
+            q,
+        )
+        upper = modular.add_mod(cts, sub, q)
+        cts = jnp.concatenate([upper, lower], axis=0)
+    assert cts.shape[0] == next_power_two(num_items)
+    return cts[:num_items]
+
+
+def expand_query(
+    ctx: PirContext, galois_keys, cts: jnp.ndarray, total_items: int
+) -> jnp.ndarray:
+    """Expand a multi-ciphertext query into total_items selection ciphertexts.
+
+    cts: u64[num_cts, 2, L, N] with num_cts == total_items // N + 1
+    (parity with server.cpp:148-171, including the degenerate extra
+    ciphertext when total_items is an exact multiple of N).
+    """
+    n = ctx.n
+    if cts.shape[0] != total_items // n + 1:
+        raise ValueError(
+            "number of ciphertexts doesn't match number of items for "
+            "oblivious expansion"
+        )
+    outs = []
+    remaining = total_items
+    for i in range(cts.shape[0]):
+        count = min(n, remaining)
+        outs.append(expand_single(ctx, galois_keys, cts[i], count))
+        remaining -= n
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]

@@ -33,7 +33,8 @@ def switch_key(ctx: PirContext, ksk, c: jnp.ndarray):
     encryption under s, where t_key is the switch key's target.
     """
     qp = ctx.limbs_qp
-    data = ksk.data  # [L, 2, Lp, N]
+    # accept either a KSwitchKey or its raw [L, 2, Lp, N] array (jit pytrees)
+    data = getattr(ksk, "data", ksk)
 
     # 1. decompose: limb i of c broadcast to all Lp key primes.
     digits = modular.barrett_reduce_64(

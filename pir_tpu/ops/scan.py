@@ -1,0 +1,131 @@
+"""The ciphertext×database scan — the server's matmul-like hot kernel.
+
+Computes the recursive hypercube dot product of the reference's
+DatabaseMultiplier (pir/cpp/database.cpp:118-288), reformulated for TPU:
+
+* the database is a dense, zero-padded hypercube of NTT-form plaintext
+  polynomials (zero padding is mathematically identical to the reference's
+  early-break iterator — missing terms contribute exact zeros);
+* the innermost dimension is one batched modular
+  multiply-accumulate contraction over all prefixes at once;
+* upper dimensions decompose intermediate ciphertexts into digit
+  plaintexts (ops/decompose.py) and contract again;
+* accumulation exploits the u64 headroom above the reduced summands, so a
+  chunk of up to 2^(64-ceil(log2 q)) products is summed with plain integer
+  adds before one Barrett reduction.
+
+Everything is jittable with static shapes; the leading "prefix" axis is
+the natural sharding axis for the multi-chip path (parallel/).
+"""
+
+from __future__ import annotations
+
+import jax.numpy as jnp
+
+from pir_tpu.core.context import PirContext
+from pir_tpu.ops import decompose, modular
+
+
+def _max_chunk(ctx: PirContext) -> int:
+    """How many reduced products fit in u64 before a reduction is needed."""
+    maxq_bits = max(q.bit_length() for q in ctx.ct_moduli)
+    return max(1, 1 << (63 - maxq_bits))
+
+
+def contract_dim(
+    ctx: PirContext, sv_ntt: jnp.ndarray, items_ntt: jnp.ndarray
+) -> jnp.ndarray:
+    """acc[p, ...] = Σ_j sv[j] ⊙ items[p, j, ...]  (NTT domain, mod q).
+
+    sv_ntt:    u64[D, 2, L, N]   — selection-vector ciphertexts, NTT form
+    items_ntt: u64[P, D, L, N]   — plaintext polys per prefix p and index j
+    returns    u64[P, 2, L, N]
+    """
+    lq = ctx.limbs_q
+    D = items_ntt.shape[1]
+    chunk = min(_max_chunk(ctx), D)
+    acc = None
+    for start in range(0, D, chunk):
+        end = min(start + chunk, D)
+        prod = modular.mul_mod(
+            sv_ntt[None, start:end],  # [1, c, 2, L, N]
+            items_ntt[:, start:end, None],  # [P, c, 1, L, N]
+            lq.q,
+            lq.ratio_hi,
+            lq.ratio_lo,
+        )
+        part = modular.barrett_reduce_64(
+            jnp.sum(prod, axis=1), lq.q, lq.ratio_hi
+        )
+        acc = part if acc is None else modular.add_mod(acc, part, lq.q)
+    return acc
+
+
+def database_scan_decomp(
+    ctx: PirContext,
+    db_ntt: jnp.ndarray,
+    dims: tuple,
+    sv_ntt: jnp.ndarray,
+) -> jnp.ndarray:
+    """Full d-dimensional decomposition-mode scan.
+
+    db_ntt: u64[prod(dims), L, N] — zero-padded DB plaintexts in NTT form.
+    dims:   hypercube dimensions (D_0, ..., D_{d-1}); DB index is row-major
+            with D_0 outermost (parity with database.cpp:318-326).
+    sv_ntt: u64[sum(dims), 2, L, N] — expanded selection vector, NTT form,
+            dimension blocks concatenated in order.
+    Returns u64[(2·ER)^(d-1), 2, L, N] reply ciphertexts, coefficient form.
+    """
+    d = len(dims)
+    offsets = []
+    off = 0
+    for dim in dims:
+        offsets.append(off)
+        off += dim
+    total = 1
+    for dim in dims:
+        total *= dim
+    assert db_ntt.shape[0] == total, "database must be zero-padded to the hypercube"
+
+    # Innermost dimension: plain DB plaintexts, one ct per prefix.
+    inner = dims[-1]
+    prefix = total // inner
+    sv_last = sv_ntt[offsets[-1] : offsets[-1] + inner]
+    items = db_ntt.reshape(prefix, inner, *db_ntt.shape[1:])
+    result = contract_dim(ctx, sv_last, items)  # [prefix, 2, L, N]
+    result = ctx.ntt_q.inverse(result)  # coeff form, like the reference's
+    # per-level transform_from_ntt (database.cpp:250-254)
+
+    # Upper dimensions, bottom-up: decompose, re-NTT, contract.
+    for level in range(d - 2, -1, -1):
+        dim = dims[level]
+        prefix //= dim
+        sv_lvl = sv_ntt[offsets[level] : offsets[level] + dim]
+        # result: [prefix*dim, C, 2, L, N] (C=1 at the first upper level)
+        if result.ndim == 4:
+            result = result[:, None]  # add the C axis
+        C = result.shape[1]
+        pts = decompose.decompose_ct(ctx, result)  # [prefix*dim, C, 2*ER, N]
+        pts_ntt = ctx.ntt_q.forward(
+            jnp.broadcast_to(
+                pts[..., None, :],
+                pts.shape[:-1] + (ctx.L, ctx.n),
+            )
+        )  # [prefix*dim, C, 2*ER, L, N]
+        # flatten (lower-ct, digit) C-order: parity with the reference's
+        # `for ct in lower_result: for pt in Encode(ct)` (database.cpp:217-233)
+        newC = C * pts_ntt.shape[2]
+        items = pts_ntt.reshape(prefix, dim, newC, ctx.L, ctx.n)
+        # contract over `dim` for each of the newC digit plaintexts:
+        # treat (prefix, newC) jointly as the prefix axis.
+        items_flat = items.transpose(0, 2, 1, 3, 4).reshape(
+            prefix * newC, dim, ctx.L, ctx.n
+        )
+        res = contract_dim(ctx, sv_lvl, items_flat)  # [prefix*newC, 2, L, N]
+        res = ctx.ntt_q.inverse(res)
+        result = res.reshape(prefix, newC, 2, ctx.L, ctx.n)
+
+    # top level: prefix == 1; C axis may be absent for d == 1
+    if result.ndim == 4:
+        result = result[:, None]
+    return result.reshape(-1, 2, ctx.L, ctx.n)

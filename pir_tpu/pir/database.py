@@ -1,5 +1,134 @@
-"""Placeholder — implemented later this round."""
+"""PirDatabase: encode, pre-transform, and scan the plaintext database.
+
+Parity with the reference's PIRDatabase (pir/cpp/database.{h,cpp}):
+populate from byte-strings (StringEncoder packing, items_per_plaintext per
+poly) or int64s (IntegerEncoder, one per poly); in decomposition mode the
+encoded plaintexts are NTT-transformed once at setup
+(database.cpp:73-75,103-106) — the persistent artifact worth checkpointing
+at scale (SURVEY §5d).
+
+Differences by design: the plaintext hypercube is zero-padded to
+prod(dimensions) so every scan has static shapes (mathematically identical
+to the reference's early-break iterator), and the whole multiply is one
+jittable function.
+"""
+
+from __future__ import annotations
+
+from typing import Optional, Sequence
+
+import numpy as np
+import jax.numpy as jnp
+
+from pir_tpu.bfv import evaluator
+from pir_tpu.core.context import PirContext
+from pir_tpu.core.params import PirParams
+from pir_tpu.ops import scan
+from pir_tpu.pir.encoders import IntegerEncoder, StringEncoder
 
 
-class PirDatabase:  # pragma: no cover - placeholder
-    pass
+class PirDatabase:
+    def __init__(self, params: PirParams):
+        self.params = params
+        self.ctx = PirContext(params)
+        self.db_pts: Optional[np.ndarray] = None  # u64[num_pt, N] mod t
+        self.db_ntt: Optional[jnp.ndarray] = None  # u64[padded, L, N]
+
+    # ------------------------------------------------------------------
+    @classmethod
+    def create(cls, rawdb, params: PirParams) -> "PirDatabase":
+        db = cls(params)
+        if len(rawdb) and isinstance(rawdb[0], (int, np.integer)):
+            db.populate_ints(rawdb)
+        else:
+            db.populate_strings(rawdb)
+        return db
+
+    @property
+    def size(self) -> int:
+        return self.params.num_pt
+
+    @property
+    def padded_size(self) -> int:
+        total = 1
+        for d in self.params.dimensions:
+            total *= d
+        return total
+
+    # ------------------------------------------------------------------
+    def populate_strings(self, rawdb: Sequence[bytes]) -> None:
+        p = self.params
+        if len(rawdb) != p.num_items:
+            raise ValueError(
+                f"database size {len(rawdb)} does not match params value "
+                f"{p.num_items}"
+            )
+        enc = StringEncoder(
+            self.ctx.n, self.ctx.t, p.bits_per_coeff
+        )
+        pts = np.zeros((p.num_pt, self.ctx.n), dtype=np.uint64)
+        for i in range(p.num_pt):
+            chunk = rawdb[i * p.items_per_plaintext : (i + 1) * p.items_per_plaintext]
+            pts[i] = enc.encode_many(chunk)
+        self._finalize(pts)
+
+    def populate_ints(self, rawdb: Sequence[int]) -> None:
+        p = self.params
+        if len(rawdb) != p.num_items:
+            raise ValueError(
+                f"database size {len(rawdb)} does not match params value "
+                f"{p.num_items}"
+            )
+        enc = IntegerEncoder(self.ctx.n, self.ctx.t)
+        pts = np.zeros((p.num_pt, self.ctx.n), dtype=np.uint64)
+        for i, v in enumerate(rawdb):
+            pts[i] = enc.encode(int(v))
+        self._finalize(pts)
+
+    def _finalize(self, pts: np.ndarray) -> None:
+        self.db_pts = pts
+        if not self.params.use_ciphertext_multiplication:
+            padded = np.zeros((self.padded_size, self.ctx.n), dtype=np.uint64)
+            padded[: pts.shape[0]] = pts
+            self.db_ntt = evaluator.plaintext_to_ntt(self.ctx, jnp.asarray(padded))
+        else:
+            # ct-multiplication mode keeps plaintexts in coefficient form and
+            # lifts lazily inside the multiply.
+            padded = np.zeros((self.padded_size, self.ctx.n), dtype=np.uint64)
+            padded[: pts.shape[0]] = pts
+            self.db_ntt = evaluator.plaintext_to_ntt(self.ctx, jnp.asarray(padded))
+
+    # ------------------------------------------------------------------
+    def multiply(self, selection_vector: jnp.ndarray) -> jnp.ndarray:
+        """Scan: selection vector cts (coeff form, [dim_sum, 2, L, N]) ->
+        reply cts (coeff form).  Parity with PIRDatabase::multiply
+        (database.cpp:290-316)."""
+        dim_sum = self.params.dimensions_sum
+        if selection_vector.shape[0] != dim_sum:
+            raise ValueError("selection vector size does not match dimensions")
+        if self.db_ntt is None:
+            raise ValueError("database not populated")
+        if self.params.use_ciphertext_multiplication:
+            raise NotImplementedError(
+                "ciphertext-multiplication mode lands with the BFV ct×ct "
+                "multiply; decomposition mode is the default/benchmark path"
+            )
+        sv_ntt = self.ctx.ntt_q.forward(selection_vector)
+        return scan.database_scan_decomp(
+            self.ctx, self.db_ntt, self.params.dimensions, sv_ntt
+        )
+
+    # ------------------------------------------------------------------
+    # index math — parity with database.cpp:318-342
+    def calculate_indices(self, index: int) -> list[int]:
+        pt_index = index // self.params.items_per_plaintext
+        out = []
+        for d in reversed(self.params.dimensions):
+            out.append(pt_index % d)
+            pt_index //= d
+        return list(reversed(out))
+
+    def calculate_item_offset(self, index: int) -> int:
+        p = self.params
+        pt_index = index // p.items_per_plaintext
+        return (index - pt_index * p.items_per_plaintext) * p.bytes_per_item

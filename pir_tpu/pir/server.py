@@ -1,5 +1,85 @@
-"""Placeholder — implemented later this round."""
+"""PirServer: request processing — expansion + scan, jitted end-to-end.
+
+Parity with the reference's PIRServer (pir/cpp/server.{h,cpp}): deserialize
+evaluation keys, then per query run oblivious expansion followed by the
+database multiply, and serialize the reply.
+
+TPU-native structure: the whole per-query pipeline (expansion levels +
+hypercube scan) is one jitted function with static shapes; the Galois keys
+are traced inputs (they change per request) and the NTT-form database is a
+captured device constant.  Batched requests re-use the same compiled
+executable.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+from pir_tpu.core.params import PirParams
+from pir_tpu.ops import expand, scan
+from pir_tpu.pir import wire
+from pir_tpu.pir.database import PirDatabase
+from pir_tpu.proto import payload_pb2 as pb
+from pir_tpu.utils.math import generate_galois_elts
 
 
-class PirServer:  # pragma: no cover - placeholder
-    pass
+class PirServer:
+    def __init__(self, db: PirDatabase, params: PirParams):
+        if params.num_pt != db.size:
+            raise ValueError("database size mismatch")
+        self.params = params
+        self.db = db
+        self.ctx = db.ctx
+        self._expansion_elts = tuple(generate_galois_elts(self.ctx.n))
+
+    @classmethod
+    def create(cls, db: PirDatabase, params: PirParams) -> "PirServer":
+        return cls(db, params)
+
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _pipeline(self, num_query_cts: int):
+        """Compiled (expand + scan) for a given query-ct count."""
+        ctx = self.ctx
+        dims = self.params.dimensions
+        dim_sum = self.params.dimensions_sum
+        db_ntt = self.db.db_ntt
+
+        def run(query_cts, galois_key_arrays):
+            sv = expand.expand_query(ctx, galois_key_arrays, query_cts, dim_sum)
+            sv_ntt = ctx.ntt_q.forward(sv)
+            return scan.database_scan_decomp(ctx, db_ntt, dims, sv_ntt)
+
+        return jax.jit(run)
+
+    # ------------------------------------------------------------------
+    def process_request(self, request: pb.Request) -> pb.Response:
+        galois = wire.deserialize_galois_keys(request.galois_keys)
+        gk_arrays = {e: jnp.asarray(k.data) for e, k in galois.keys.items()}
+        missing = [e for e in self._expansion_elts if e not in gk_arrays]
+        if missing:
+            raise ValueError(f"request missing galois keys for elements {missing}")
+        if self.params.use_ciphertext_multiplication:
+            raise NotImplementedError(
+                "ciphertext-multiplication mode lands with the BFV ct×ct "
+                "multiply; decomposition mode is the default/benchmark path"
+            )
+        response = pb.Response()
+        for query in request.query:
+            cts = jnp.asarray(wire.load_ciphertexts(query))
+            reply = self._pipeline(cts.shape[0])(cts, gk_arrays)
+            wire.save_ciphertexts(jax.device_get(reply), response.reply.add())
+        return response
+
+    # ------------------------------------------------------------------
+    # exposed for component tests (parity with server_test.cpp surfaces)
+    def oblivious_expansion(self, cts, total_items: int, galois_keys):
+        gk = {e: jnp.asarray(k.data) for e, k in galois_keys.keys.items()}
+        cts = jnp.asarray(cts)
+        if cts.ndim == 3:
+            return expand.expand_single(self.ctx, gk, cts, total_items)
+        return expand.expand_query(self.ctx, gk, cts, total_items)

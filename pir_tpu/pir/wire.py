@@ -1,0 +1,163 @@
+"""Wire codec: arrays/keys/params <-> bytes <-> protobuf messages.
+
+The role of the reference's serialization layer
+(pir/cpp/serialization.{h,cpp}: SaveRequest/LoadCiphertexts/SEALSerialize).
+Payload bytes use a small self-describing native format ("PTP1"): magic,
+dtype code, rank, shape, little-endian data.  The proto schema is
+structurally identical to the reference's (same field numbers — see
+pir_tpu/proto/payload.proto).
+"""
+
+from __future__ import annotations
+
+import json
+import struct
+
+import numpy as np
+
+from pir_tpu.bfv.keys import GaloisKeys, KSwitchKey, RelinKeys
+from pir_tpu.core.params import EncryptionParams, PirParams
+from pir_tpu.proto import payload_pb2 as pb
+
+_MAGIC = b"PTP1"
+
+
+# ---------------------------------------------------------------------------
+# array codec
+# ---------------------------------------------------------------------------
+
+
+def pack_array(a) -> bytes:
+    a = np.asarray(a)
+    if a.dtype != np.uint64:
+        raise ValueError(f"only u64 arrays cross the wire, got {a.dtype}")
+    header = struct.pack("<4sBB", _MAGIC, 1, a.ndim) + struct.pack(
+        f"<{a.ndim}q", *a.shape
+    )
+    return header + a.astype("<u8").tobytes()
+
+
+def unpack_array(b: bytes) -> np.ndarray:
+    magic, _ver, ndim = struct.unpack_from("<4sBB", b, 0)
+    if magic != _MAGIC:
+        raise ValueError("bad magic in serialized array")
+    shape = struct.unpack_from(f"<{ndim}q", b, 6)
+    off = 6 + 8 * ndim
+    return np.frombuffer(b, dtype="<u8", offset=off).reshape(shape).copy()
+
+
+# ---------------------------------------------------------------------------
+# ciphertexts
+# ---------------------------------------------------------------------------
+
+
+def save_ciphertexts(cts, msg: pb.Ciphertexts | None = None) -> pb.Ciphertexts:
+    """cts: iterable of u64[size, L, N] arrays (or one stacked [k, size, L, N])."""
+    out = msg if msg is not None else pb.Ciphertexts()
+    arr = np.asarray(cts)
+    if arr.ndim == 3:
+        arr = arr[None]
+    for i in range(arr.shape[0]):
+        out.ct.append(pack_array(arr[i]))
+    return out
+
+
+def load_ciphertexts(msg: pb.Ciphertexts) -> np.ndarray:
+    """-> u64[k, size, L, N] (all ciphertexts in one proto share a shape)."""
+    cts = [unpack_array(b) for b in msg.ct]
+    return np.stack(cts)
+
+
+# ---------------------------------------------------------------------------
+# keys
+# ---------------------------------------------------------------------------
+
+
+def serialize_galois_keys(gk: GaloisKeys) -> bytes:
+    elts = sorted(gk.keys)
+    blob = struct.pack("<I", len(elts))
+    for e in elts:
+        payload = pack_array(np.asarray(gk.keys[e].data))
+        blob += struct.pack("<IQ", e, len(payload)) + payload
+    return blob
+
+
+def deserialize_galois_keys(b: bytes) -> GaloisKeys:
+    if len(b) < 4:
+        raise ValueError("request carries no galois keys")
+    (count,) = struct.unpack_from("<I", b, 0)
+    off = 4
+    keys = {}
+    for _ in range(count):
+        e, ln = struct.unpack_from("<IQ", b, off)
+        off += 12
+        keys[e] = KSwitchKey(data=unpack_array(b[off : off + ln]))
+        off += ln
+    return GaloisKeys(keys=keys)
+
+
+def serialize_relin_keys(rk: RelinKeys) -> bytes:
+    return pack_array(np.asarray(rk.key.data))
+
+
+def deserialize_relin_keys(b: bytes) -> RelinKeys:
+    return RelinKeys(key=KSwitchKey(data=unpack_array(b)))
+
+
+# ---------------------------------------------------------------------------
+# parameters
+# ---------------------------------------------------------------------------
+
+
+def serialize_encryption_params(ep: EncryptionParams) -> bytes:
+    return b"PTPE" + json.dumps(ep.to_dict(), sort_keys=True).encode()
+
+
+def deserialize_encryption_params(b: bytes) -> EncryptionParams:
+    if not b.startswith(b"PTPE"):
+        raise ValueError("bad magic in serialized encryption parameters")
+    return EncryptionParams.from_dict(json.loads(b[4:].decode()))
+
+
+def pir_params_to_proto(p: PirParams) -> pb.PIRParameters:
+    msg = pb.PIRParameters()
+    msg.num_items = p.num_items
+    msg.num_pt = p.num_pt
+    msg.dimensions.extend(p.dimensions)
+    msg.encryption_parameters = serialize_encryption_params(p.encryption_params)
+    msg.bytes_per_item = p.bytes_per_item
+    msg.items_per_plaintext = p.items_per_plaintext
+    msg.bits_per_coeff = p.bits_per_coeff
+    msg.use_ciphertext_multiplication = p.use_ciphertext_multiplication
+    return msg
+
+
+def pir_params_from_proto(msg: pb.PIRParameters) -> PirParams:
+    return PirParams(
+        num_items=msg.num_items,
+        num_pt=msg.num_pt,
+        dimensions=tuple(msg.dimensions),
+        encryption_params=deserialize_encryption_params(
+            msg.encryption_parameters
+        ),
+        bytes_per_item=msg.bytes_per_item,
+        items_per_plaintext=msg.items_per_plaintext,
+        bits_per_coeff=msg.bits_per_coeff,
+        use_ciphertext_multiplication=msg.use_ciphertext_multiplication,
+    )
+
+
+# ---------------------------------------------------------------------------
+# request/response assembly — parity with serialization.cpp:57-73
+# ---------------------------------------------------------------------------
+
+
+def save_request(queries, galois_keys_bytes: bytes, relin_keys_bytes: bytes
+                 ) -> pb.Request:
+    """queries: list (per query) of u64[k, size, L, N] ciphertext stacks."""
+    req = pb.Request()
+    for q in queries:
+        save_ciphertexts(q, req.query.add())
+    req.galois_keys = galois_keys_bytes
+    req.relin_keys = relin_keys_bytes
+    return req

@@ -12,7 +12,7 @@ from pir_tpu.core.params import EncryptionParams, PirParams, create_pir_paramete
 
 
 def tiny_encryption_params(
-    n: int = 64, t_bits: int = 12, q_bits=(20, 21, 22)
+    n: int = 64, t_bits: int = 12, q_bits=(26, 27, 28)
 ) -> EncryptionParams:
     """N-degree ring with small NTT primes; last prime is the special prime."""
     coeff = [primes.get_prime(2 * n, b) for b in q_bits]
@@ -32,7 +32,7 @@ def tiny_pir_params(
     t_bits: int = 12,
     use_ciphertext_multiplication: bool = False,
     bits_per_coeff: int = 0,
-    q_bits=(20, 21, 22),
+    q_bits=(26, 27, 28),
 ) -> PirParams:
     return create_pir_parameters(
         dbsize,
