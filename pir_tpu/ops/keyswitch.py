@@ -94,7 +94,8 @@ def relinearize(ctx: PirContext, relin_keys, ct3: jnp.ndarray) -> jnp.ndarray:
 
     ct3: u64[..., 3, L, N] coefficient form (output of ct×ct multiply).
     """
-    k0, k1 = switch_key(ctx, relin_keys.key, ct3[..., 2, :, :])
+    key = getattr(relin_keys, "key", relin_keys)
+    k0, k1 = switch_key(ctx, key, ct3[..., 2, :, :])
     q = ctx.limbs_q.q
     return jnp.stack(
         [

@@ -129,3 +129,57 @@ def database_scan_decomp(
     if result.ndim == 4:
         result = result[:, None]
     return result.reshape(-1, 2, ctx.L, ctx.n)
+
+
+def database_scan_ctmult(
+    ctx: PirContext,
+    db_ntt: jnp.ndarray,
+    dims: tuple,
+    sv: jnp.ndarray,
+    relin_key,
+) -> jnp.ndarray:
+    """Ciphertext-multiplication-mode scan (database.cpp:202-211 recursion).
+
+    sv: u64[sum(dims), 2, L, N] selection vector in **coefficient** form —
+    upper dimensions consume it through the full BFV ct×ct multiply,
+    relinearizing after each product.  Returns one u64[1, 2, L, N] reply.
+    """
+    from pir_tpu.bfv.multiply import bfv_multiply
+    from pir_tpu.ops.keyswitch import relinearize
+
+    d = len(dims)
+    offsets = []
+    off = 0
+    for dim in dims:
+        offsets.append(off)
+        off += dim
+
+    # Innermost dimension: same NTT-domain ct×pt contraction as decomp mode
+    # (SEAL's multiply_plain does this NTT round trip internally).
+    inner = dims[-1]
+    prefix = db_ntt.shape[0] // inner
+    sv_last_ntt = ctx.ntt_q.forward(sv[offsets[-1] : offsets[-1] + inner])
+    items = db_ntt.reshape(prefix, inner, *db_ntt.shape[1:])
+    result = ctx.ntt_q.inverse(contract_dim(ctx, sv_last_ntt, items))
+
+    for level in range(d - 2, -1, -1):
+        dim = dims[level]
+        prefix //= dim
+        sv_lvl = sv[offsets[level] : offsets[level] + dim]  # [dim, 2, L, N]
+        blocks = result.reshape(prefix, dim, 2, ctx.L, ctx.n)
+        prod3 = bfv_multiply(ctx, blocks, sv_lvl[None])  # [prefix, dim, 3, L, N]
+        prod2 = relinearize(ctx, relin_key, prod3)  # [prefix, dim, 2, L, N]
+        # accumulate over the dimension (reduced summands, u64 headroom)
+        lq = ctx.limbs_q
+        chunk = min(_max_chunk(ctx), dim)
+        acc = None
+        for start in range(0, dim, chunk):
+            part = modular.barrett_reduce_64(
+                jnp.sum(prod2[:, start : start + chunk], axis=1),
+                lq.q,
+                lq.ratio_hi,
+            )
+            acc = part if acc is None else modular.add_mod(acc, part, lq.q)
+        result = acc
+
+    return result.reshape(1, 2, ctx.L, ctx.n)

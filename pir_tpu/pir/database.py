@@ -99,7 +99,9 @@ class PirDatabase:
             self.db_ntt = evaluator.plaintext_to_ntt(self.ctx, jnp.asarray(padded))
 
     # ------------------------------------------------------------------
-    def multiply(self, selection_vector: jnp.ndarray) -> jnp.ndarray:
+    def multiply(
+        self, selection_vector: jnp.ndarray, relin_key=None
+    ) -> jnp.ndarray:
         """Scan: selection vector cts (coeff form, [dim_sum, 2, L, N]) ->
         reply cts (coeff form).  Parity with PIRDatabase::multiply
         (database.cpp:290-316)."""
@@ -109,9 +111,17 @@ class PirDatabase:
         if self.db_ntt is None:
             raise ValueError("database not populated")
         if self.params.use_ciphertext_multiplication:
-            raise NotImplementedError(
-                "ciphertext-multiplication mode lands with the BFV ct×ct "
-                "multiply; decomposition mode is the default/benchmark path"
+            if relin_key is None and len(self.params.dimensions) > 1:
+                raise ValueError(
+                    "ciphertext-multiplication mode with d > 1 requires "
+                    "relinearization keys"
+                )
+            return scan.database_scan_ctmult(
+                self.ctx,
+                self.db_ntt,
+                self.params.dimensions,
+                selection_vector,
+                relin_key,
             )
         sv_ntt = self.ctx.ntt_q.forward(selection_vector)
         return scan.database_scan_decomp(

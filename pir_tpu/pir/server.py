@@ -49,10 +49,25 @@ class PirServer:
         dim_sum = self.params.dimensions_sum
         db_ntt = self.db.db_ntt
 
-        def run(query_cts, galois_key_arrays):
-            sv = expand.expand_query(ctx, galois_key_arrays, query_cts, dim_sum)
-            sv_ntt = ctx.ntt_q.forward(sv)
-            return scan.database_scan_decomp(ctx, db_ntt, dims, sv_ntt)
+        if self.params.use_ciphertext_multiplication:
+
+            def run(query_cts, galois_key_arrays, relin_key):
+                sv = expand.expand_query(
+                    ctx, galois_key_arrays, query_cts, dim_sum
+                )
+                return scan.database_scan_ctmult(
+                    ctx, db_ntt, dims, sv, relin_key
+                )
+
+        else:
+
+            def run(query_cts, galois_key_arrays, relin_key):
+                del relin_key
+                sv = expand.expand_query(
+                    ctx, galois_key_arrays, query_cts, dim_sum
+                )
+                sv_ntt = ctx.ntt_q.forward(sv)
+                return scan.database_scan_decomp(ctx, db_ntt, dims, sv_ntt)
 
         return jax.jit(run)
 
@@ -63,15 +78,22 @@ class PirServer:
         missing = [e for e in self._expansion_elts if e not in gk_arrays]
         if missing:
             raise ValueError(f"request missing galois keys for elements {missing}")
-        if self.params.use_ciphertext_multiplication:
-            raise NotImplementedError(
-                "ciphertext-multiplication mode lands with the BFV ct×ct "
-                "multiply; decomposition mode is the default/benchmark path"
+        rk = None
+        if request.relin_keys:
+            rk = jnp.asarray(
+                wire.deserialize_relin_keys(request.relin_keys).key.data
+            )
+        if self.params.use_ciphertext_multiplication and rk is None and len(
+            self.params.dimensions
+        ) > 1:
+            raise ValueError(
+                "ciphertext-multiplication mode with d > 1 requires "
+                "relinearization keys in the request"
             )
         response = pb.Response()
         for query in request.query:
             cts = jnp.asarray(wire.load_ciphertexts(query))
-            reply = self._pipeline(cts.shape[0])(cts, gk_arrays)
+            reply = self._pipeline(cts.shape[0])(cts, gk_arrays, rk)
             wire.save_ciphertexts(jax.device_get(reply), response.reply.add())
         return response
 

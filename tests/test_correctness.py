@@ -17,6 +17,18 @@ from pir_tpu.testing.fixtures import generate_test_db
 from pir_tpu.testing.params import tiny_pir_params
 
 
+def _roundtrip_params(dbsize, elem, d, n, t_bits, bpc, use_ct_mult):
+    return tiny_pir_params(
+        dbsize=dbsize,
+        bytes_per_item=elem,
+        dimensions=d,
+        n=n,
+        t_bits=t_bits,
+        bits_per_coeff=bpc,
+        use_ciphertext_multiplication=use_ct_mult,
+    )
+
+
 def _roundtrip(params, desired_indices, seed=42):
     raw = generate_test_db(params.num_items, params.bytes_per_item, seed)
     db = PirDatabase.create(raw, params)
@@ -57,25 +69,49 @@ def test_roundtrip_tiny(dbsize, elem, d, n, t_bits, bpc, indices):
     _roundtrip(params, indices)
 
 
-# Reference-config entries (correctness_test.cpp:107-113, decomposition mode).
+# ct-mult recursion depth matches the reference's coverage (d <= 2:
+# each extra dimension costs a full ct×ct multiply's noise).
+CT_MULT_TINY_MATRIX = [
+    # (dbsize, elem, d, n, t_bits, bpc, indices)
+    (10, 8, 1, 64, 12, 0, [0, 9]),
+    (30, 8, 2, 64, 12, 0, [1, 29]),
+    (30, 8, 2, 64, 12, 6, [9, 25]),
+]
+
+
+@pytest.mark.parametrize("dbsize,elem,d,n,t_bits,bpc,indices", CT_MULT_TINY_MATRIX)
+def test_roundtrip_tiny_ct_mult(dbsize, elem, d, n, t_bits, bpc, indices):
+    params = _roundtrip_params(dbsize, elem, d, n, t_bits, bpc, True)
+    _roundtrip(params, indices)
+
+
+# Reference-config entries (correctness_test.cpp:95-113, both modes).
 REFERENCE_MATRIX = [
-    # (poly_degree, plain_bits, elem, bpc, dbsize, d, indices)
-    (4096, 24, 0, 0, 10, 1, [0]),
-    (4096, 24, 0, 10, 9, 2, [1, 5]),
-    (4096, 24, 64, 10, 1200, 1, [0, 80, 81, 123, 777, 1199]),
-    (4096, 24, 289, 10, 1200, 1, [0, 47, 777, 1199]),
+    # (use_ct_mult, poly_degree, plain_bits, elem, bpc, dbsize, d, indices)
+    (False, 4096, 24, 0, 0, 10, 1, [0]),
+    (False, 4096, 24, 0, 10, 9, 2, [1, 5]),
+    (False, 4096, 24, 64, 10, 1200, 1, [0, 80, 81, 123, 777, 1199]),
+    (False, 4096, 24, 289, 10, 1200, 1, [0, 47, 777, 1199]),
+    (True, 4096, 24, 0, 0, 10, 1, [0]),
+    (True, 4096, 16, 0, 10, 9, 2, [1, 5]),
+    (True, 4096, 16, 64, 10, 1200, 1, [0, 80, 81, 123, 777, 1199]),
+    (True, 8192, 42, 0, 0, 87, 2, [5, 33, 86]),
 ]
 
 
 @pytest.mark.slow
-@pytest.mark.parametrize("n,t_bits,elem,bpc,dbsize,d,indices", REFERENCE_MATRIX)
-def test_roundtrip_reference_configs(n, t_bits, elem, bpc, dbsize, d, indices):
+@pytest.mark.parametrize(
+    "ct_mult,n,t_bits,elem,bpc,dbsize,d,indices", REFERENCE_MATRIX
+)
+def test_roundtrip_reference_configs(
+    ct_mult, n, t_bits, elem, bpc, dbsize, d, indices
+):
     params = create_pir_parameters(
         dbsize,
         elem,
         d,
         generate_encryption_params(n, t_bits),
-        use_ciphertext_multiplication=False,
+        use_ciphertext_multiplication=ct_mult,
         bits_per_coeff=bpc,
     )
     if elem == 0:
