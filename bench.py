@@ -126,6 +126,16 @@ def main():
         print(json.dumps({"qps": qps}))
         return
 
+    # register the CPU backend next to the TPU so client-side keygen/encrypt
+    # run locally instead of through the accelerator's remote-compile path
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+        jax.devices("cpu")
+    except Exception:
+        pass
+
     qps = measure_qps(args.iters, DB_SIZE)
     try:
         base = cpu_baseline(DB_SIZE)

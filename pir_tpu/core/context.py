@@ -15,6 +15,7 @@ over them, so XLA sees them as literals.
 
 from __future__ import annotations
 
+import contextlib
 import functools
 
 import numpy as np
@@ -130,6 +131,29 @@ class PirContext:
                 src[j - n] = i
                 flip[j - n] = True
         return src, flip
+
+    # ------------------------------------------------------------------
+    # Device placement
+    # ------------------------------------------------------------------
+    @contextlib.contextmanager
+    def on_host(self):
+        """Run client-side crypto on the CPU backend when one is registered.
+
+        Keygen/encrypt/decrypt are latency-insensitive host ops; routing
+        them through an accelerator's (remote-)compile path wastes minutes
+        of setup.  No CPU backend registered -> no-op.
+        """
+        import jax
+
+        try:
+            cpu = jax.devices("cpu")[0]
+        except RuntimeError:
+            cpu = None
+        if cpu is None:
+            yield
+        else:
+            with jax.default_device(cpu):
+                yield
 
     # ------------------------------------------------------------------
     # Host-side exact CRT

@@ -136,6 +136,22 @@ def shoup_precompute(w, q) -> np.ndarray:
     return np.asarray(res, dtype=np.uint64)
 
 
+def shoup_precompute_device(w, q, ratio_hi, ratio_lo):
+    """floor(w·2^64/q) computed on device (for runtime-built constant tables
+    like the NTT-form database).  Estimate via the Barrett ratio, then
+    correct: the estimate is within 2 below the true value.
+    """
+    one = np.uint64(1)
+    c = w * ratio_hi + mulhi64(w, ratio_lo)
+    for _ in range(2):
+        hi, lo = mul64_wide(c + one, q)
+        fits = (hi < w) | ((hi == w) & (lo == 0))  # (c+1)·q <= w·2^64
+        c = c + fits.astype(jnp.uint64)
+    hi, lo = mul64_wide(c, q)
+    over = (hi > w) | ((hi == w) & (lo > 0))
+    return c - over.astype(jnp.uint64)
+
+
 def mul_mod_shoup(x, w, w_shoup, q):
     """x*w mod q with precomputed Shoup companion for the constant w.
 

@@ -34,12 +34,13 @@ class PirClient:
         self.ctx = PirContext(params)
         self.db = PirDatabase(params)  # index math only, no data
         self._rng = np.random.default_rng(seed)
-        self.sk = keys_mod.gen_secret_key(self.ctx, self._rng)
-        self.pk = keys_mod.gen_public_key(self.ctx, self.sk, self._rng)
-        self.galois_keys = keys_mod.gen_galois_keys(
-            self.ctx, self.sk, generate_galois_elts(self.ctx.n), self._rng
-        )
-        self.relin_keys = keys_mod.gen_relin_key(self.ctx, self.sk, self._rng)
+        with self.ctx.on_host():
+            self.sk = keys_mod.gen_secret_key(self.ctx, self._rng)
+            self.pk = keys_mod.gen_public_key(self.ctx, self.sk, self._rng)
+            self.galois_keys = keys_mod.gen_galois_keys(
+                self.ctx, self.sk, generate_galois_elts(self.ctx.n), self._rng
+            )
+            self.relin_keys = keys_mod.gen_relin_key(self.ctx, self.sk, self._rng)
         # cache the serialized evaluation keys once (client.cpp:50-54)
         self._galois_bytes = wire.serialize_galois_keys(self.galois_keys)
         self._relin_bytes = wire.serialize_relin_keys(self.relin_keys)
@@ -84,7 +85,10 @@ class PirClient:
                 if offset >= n:
                     offset -= n
                     break
-            cts.append(np.asarray(enc_mod.encrypt(self.ctx, self.pk, pt, self._rng)))
+            with self.ctx.on_host():
+                cts.append(
+                    np.asarray(enc_mod.encrypt(self.ctx, self.pk, pt, self._rng))
+                )
         return np.stack(cts)
 
     # ------------------------------------------------------------------
@@ -124,7 +128,8 @@ class PirClient:
                 "number of ciphertexts in reply must be 1 when using CT "
                 "multiplication"
             )
-        return enc_mod.decrypt(self.ctx, self.sk, jnp.asarray(cts[0]))
+        with self.ctx.on_host():
+            return enc_mod.decrypt(self.ctx, self.sk, jnp.asarray(cts[0]))
 
     def _process_reply_decomp(self, reply: pb.Ciphertexts) -> np.ndarray:
         """d rounds of decrypt → digit-recompose (client.cpp:219-255)."""
@@ -138,12 +143,13 @@ class PirClient:
             )
         pts = None
         for _ in range(num_dims):
-            pts = np.stack(
-                [
-                    enc_mod.decrypt(self.ctx, self.sk, jnp.asarray(cts[i]))
-                    for i in range(cts.shape[0])
-                ]
-            )
+            with self.ctx.on_host():
+                pts = np.stack(
+                    [
+                        enc_mod.decrypt(self.ctx, self.sk, jnp.asarray(cts[i]))
+                        for i in range(cts.shape[0])
+                    ]
+                )
             if pts.shape[0] <= 1:
                 break
             cts = np.stack(

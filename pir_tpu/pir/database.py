@@ -23,7 +23,7 @@ import jax.numpy as jnp
 from pir_tpu.bfv import evaluator
 from pir_tpu.core.context import PirContext
 from pir_tpu.core.params import PirParams
-from pir_tpu.ops import scan
+from pir_tpu.ops import modular, scan
 from pir_tpu.pir.encoders import IntegerEncoder, StringEncoder
 
 
@@ -33,6 +33,7 @@ class PirDatabase:
         self.ctx = PirContext(params)
         self.db_pts: Optional[np.ndarray] = None  # u64[num_pt, N] mod t
         self.db_ntt: Optional[jnp.ndarray] = None  # u64[padded, L, N]
+        self.db_ntt_shoup: Optional[jnp.ndarray] = None  # Shoup companions
 
     # ------------------------------------------------------------------
     @classmethod
@@ -66,11 +67,37 @@ class PirDatabase:
         enc = StringEncoder(
             self.ctx.n, self.ctx.t, p.bits_per_coeff
         )
-        pts = np.zeros((p.num_pt, self.ctx.n), dtype=np.uint64)
-        for i in range(p.num_pt):
-            chunk = rawdb[i * p.items_per_plaintext : (i + 1) * p.items_per_plaintext]
-            pts[i] = enc.encode_many(chunk)
+        pts = self._native_pack(rawdb, enc)
+        if pts is None:
+            pts = np.zeros((p.num_pt, self.ctx.n), dtype=np.uint64)
+            for i in range(p.num_pt):
+                chunk = rawdb[
+                    i * p.items_per_plaintext : (i + 1) * p.items_per_plaintext
+                ]
+                pts[i] = enc.encode_many(chunk)
         self._finalize(pts)
+
+    def _native_pack(self, rawdb, enc: StringEncoder):
+        """Bulk-ingest through the C++ encoder when items are uniform.
+
+        Zero-padding the final partial plaintext's byte buffer yields
+        bit-identical coefficients to the reference's shorter encode (the
+        trailing partial coefficient is left-justified either way and the
+        remaining coefficients are zero).
+        """
+        from pir_tpu import native
+
+        p = self.params
+        if not native.available():
+            return None
+        if any(len(item) != p.bytes_per_item for item in rawdb):
+            return None
+        bytes_per_pt = p.items_per_plaintext * p.bytes_per_item
+        buffer = b"".join(bytes(item) for item in rawdb)
+        buffer += b"\0" * (p.num_pt * bytes_per_pt - len(buffer))
+        return native.pack_db(
+            buffer, p.num_pt, bytes_per_pt, enc.bits_per_coeff, self.ctx.n
+        )
 
     def populate_ints(self, rawdb: Sequence[int]) -> None:
         p = self.params
@@ -86,25 +113,61 @@ class PirDatabase:
         self._finalize(pts)
 
     def _finalize(self, pts: np.ndarray) -> None:
+        import jax
+
         self.db_pts = pts
-        if not self.params.use_ciphertext_multiplication:
-            padded = np.zeros((self.padded_size, self.ctx.n), dtype=np.uint64)
-            padded[: pts.shape[0]] = pts
-            self.db_ntt = evaluator.plaintext_to_ntt(self.ctx, jnp.asarray(padded))
-        else:
-            # ct-multiplication mode keeps plaintexts in coefficient form and
-            # lifts lazily inside the multiply.
-            padded = np.zeros((self.padded_size, self.ctx.n), dtype=np.uint64)
-            padded[: pts.shape[0]] = pts
-            self.db_ntt = evaluator.plaintext_to_ntt(self.ctx, jnp.asarray(padded))
+        padded = np.zeros((self.padded_size, self.ctx.n), dtype=np.uint64)
+        padded[: pts.shape[0]] = pts
+        lq = self.ctx.limbs_q
+
+        @jax.jit
+        def prep(raw):
+            ntt = evaluator.plaintext_to_ntt(self.ctx, raw)
+            shoup = modular.shoup_precompute_device(
+                ntt, lq.q, lq.ratio_hi, lq.ratio_lo
+            )
+            return ntt, shoup
+
+        self.db_ntt, self.db_ntt_shoup = prep(jnp.asarray(padded))
 
     # ------------------------------------------------------------------
+    # ------------------------------------------------------------------
+    # persistence of the encoded/NTT-transformed database (SURVEY §5d):
+    # the one-time setup artifact worth checkpointing at large scale.
+    def save(self, path) -> None:
+        if self.db_pts is None:
+            raise ValueError("database not populated")
+        np.savez_compressed(
+            path,
+            db_pts=self.db_pts,
+            db_ntt=np.asarray(self.db_ntt),
+            db_ntt_shoup=np.asarray(self.db_ntt_shoup),
+            num_items=self.params.num_items,
+        )
+
+    @classmethod
+    def load(cls, path, params: PirParams) -> "PirDatabase":
+        data = np.load(path)
+        if int(data["num_items"]) != params.num_items:
+            raise ValueError("checkpoint does not match parameters")
+        db = cls(params)
+        db.db_pts = data["db_pts"]
+        db.db_ntt = jnp.asarray(data["db_ntt"])
+        db.db_ntt_shoup = jnp.asarray(data["db_ntt_shoup"])
+        return db
+
     def multiply(
-        self, selection_vector: jnp.ndarray, relin_key=None
+        self, selection_vector: jnp.ndarray, relin_key=None, decryptor=None
     ) -> jnp.ndarray:
         """Scan: selection vector cts (coeff form, [dim_sum, 2, L, N]) ->
         reply cts (coeff form).  Parity with PIRDatabase::multiply
-        (database.cpp:290-316)."""
+        (database.cpp:290-316).
+
+        decryptor: optional callable(ct) -> noise-budget int.  When given,
+        the scan runs eagerly and prints the invariant noise budget after
+        each recursion level — the reference's server-side debug probe
+        (database.h:127, database.cpp:260-270).
+        """
         dim_sum = self.params.dimensions_sum
         if selection_vector.shape[0] != dim_sum:
             raise ValueError("selection vector size does not match dimensions")
@@ -123,9 +186,21 @@ class PirDatabase:
                 selection_vector,
                 relin_key,
             )
+        probe = None
+        if decryptor is not None:
+
+            def probe(desc, cts):
+                budgets = [decryptor(cts[i]) for i in range(min(2, cts.shape[0]))]
+                print(f"noise budget after {desc}: {budgets}")
+
         sv_ntt = self.ctx.ntt_q.forward(selection_vector)
         return scan.database_scan_decomp(
-            self.ctx, self.db_ntt, self.params.dimensions, sv_ntt
+            self.ctx,
+            self.db_ntt,
+            self.params.dimensions,
+            sv_ntt,
+            self.db_ntt_shoup,
+            probe=probe,
         )
 
     # ------------------------------------------------------------------

@@ -43,15 +43,20 @@ class PirServer:
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=8)
     def _pipeline(self, num_query_cts: int):
-        """Compiled (expand + scan) for a given query-ct count."""
+        """Compiled (expand + scan) for a given query-ct count.
+
+        The database rides as jit *arguments* (device-resident handles),
+        not closure constants — baking 100MB+ arrays into the HLO blows up
+        compile time.
+        """
         ctx = self.ctx
         dims = self.params.dimensions
         dim_sum = self.params.dimensions_sum
-        db_ntt = self.db.db_ntt
 
         if self.params.use_ciphertext_multiplication:
 
-            def run(query_cts, galois_key_arrays, relin_key):
+            def run(query_cts, galois_key_arrays, relin_key, db_ntt, db_shoup):
+                del db_shoup
                 sv = expand.expand_query(
                     ctx, galois_key_arrays, query_cts, dim_sum
                 )
@@ -61,13 +66,15 @@ class PirServer:
 
         else:
 
-            def run(query_cts, galois_key_arrays, relin_key):
+            def run(query_cts, galois_key_arrays, relin_key, db_ntt, db_shoup):
                 del relin_key
                 sv = expand.expand_query(
                     ctx, galois_key_arrays, query_cts, dim_sum
                 )
                 sv_ntt = ctx.ntt_q.forward(sv)
-                return scan.database_scan_decomp(ctx, db_ntt, dims, sv_ntt)
+                return scan.database_scan_decomp(
+                    ctx, db_ntt, dims, sv_ntt, db_shoup
+                )
 
         return jax.jit(run)
 
@@ -93,7 +100,9 @@ class PirServer:
         response = pb.Response()
         for query in request.query:
             cts = jnp.asarray(wire.load_ciphertexts(query))
-            reply = self._pipeline(cts.shape[0])(cts, gk_arrays, rk)
+            reply = self._pipeline(cts.shape[0])(
+                cts, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
+            )
             wire.save_ciphertexts(jax.device_get(reply), response.reply.add())
         return response
 
