@@ -107,6 +107,49 @@ class PirServer:
         return response
 
     # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=8)
+    def _pipeline_batched(self, num_query_cts: int, batch: int):
+        """vmapped multi-query pipeline: all queries of one request run as a
+        single device program (the reference loops serially,
+        server.cpp:60-63)."""
+        single = self._pipeline(num_query_cts)
+
+        def run(query_cts, galois_key_arrays, relin_key, db_ntt, db_shoup):
+            return jax.vmap(
+                lambda q: single(q, galois_key_arrays, relin_key, db_ntt, db_shoup)
+            )(query_cts)
+
+        return jax.jit(run)
+
+    def process_request_batched(self, request: pb.Request) -> pb.Response:
+        """Like process_request, but runs every query in one batched program.
+
+        Requires all queries to carry the same number of ciphertexts (always
+        true for same-params clients).  Decomposition mode only.
+        """
+        galois = wire.deserialize_galois_keys(request.galois_keys)
+        gk_arrays = {e: jnp.asarray(k.data) for e, k in galois.keys.items()}
+        rk = None
+        if request.relin_keys:
+            rk = jnp.asarray(
+                wire.deserialize_relin_keys(request.relin_keys).key.data
+            )
+        stacks = [wire.load_ciphertexts(q) for q in request.query]
+        if len({s.shape for s in stacks}) != 1:
+            return self.process_request(request)
+        import numpy as np
+
+        batch = jnp.asarray(np.stack(stacks))
+        replies = self._pipeline_batched(batch.shape[1], batch.shape[0])(
+            batch, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
+        )
+        replies = jax.device_get(replies)
+        response = pb.Response()
+        for qi in range(replies.shape[0]):
+            wire.save_ciphertexts(replies[qi], response.reply.add())
+        return response
+
+    # ------------------------------------------------------------------
     # exposed for component tests (parity with server_test.cpp surfaces)
     def oblivious_expansion(self, cts, total_items: int, galois_keys):
         gk = {e: jnp.asarray(k.data) for e, k in galois_keys.keys.items()}

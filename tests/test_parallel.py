@@ -44,7 +44,7 @@ def test_sharded_matches_unsharded(d, batch):
     # unsharded reference result, query by query
     for qi in range(len(indices)):
         single = server._pipeline(queries[qi].shape[0])(
-            jnp.asarray(queries[qi]), gk
+            jnp.asarray(queries[qi]), gk, None, db.db_ntt, db.db_ntt_shoup
         )
         assert (np.asarray(replies[qi]) == np.asarray(single)).all(), qi
 
