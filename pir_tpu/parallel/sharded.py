@@ -49,7 +49,9 @@ def default_mesh(devices=None, batch: int = 1) -> Mesh:
     return Mesh(devices.reshape(n // batch, batch), axis_names=("db", "batch"))
 
 
-def make_sharded_pipeline(ctx: PirContext, dims: tuple, db_ntt, mesh: Mesh):
+def make_sharded_pipeline(
+    ctx: PirContext, dims: tuple, db_ntt, mesh: Mesh, db_shoup=None
+):
     """Jitted multi-query pipeline: (query_cts, galois_keys) -> replies.
 
     query_cts: u64[Q, num_cts, 2, L, N] with Q a multiple of the mesh
@@ -68,10 +70,21 @@ def make_sharded_pipeline(ctx: PirContext, dims: tuple, db_ntt, mesh: Mesh):
     db_blocks = pad_axis(
         jnp.asarray(db_ntt).reshape(d0, block, ctx.L, ctx.n), 0, n_db
     )
+    shoup_blocks = (
+        pad_axis(
+            jnp.asarray(db_shoup).reshape(d0, block, ctx.L, ctx.n), 0, n_db
+        )
+        if db_shoup is not None
+        else jnp.zeros_like(db_blocks)
+    )
+    have_shoup = db_shoup is not None
 
-    def shard_body(query_local, gk, db_local):
+    def shard_body(query_local, gk, db_local, shoup_local):
         # query_local: [Q/S_b, num_cts, 2, L, N]; db_local: [D0p/S_db, B, L, N]
         db_flat = db_local.reshape(-1, *db_local.shape[2:])
+        shoup_flat = (
+            shoup_local.reshape(-1, *shoup_local.shape[2:]) if have_shoup else None
+        )
         my_db = jax.lax.axis_index("db")
 
         def one_query(query_cts):
@@ -82,7 +95,9 @@ def make_sharded_pipeline(ctx: PirContext, dims: tuple, db_ntt, mesh: Mesh):
                 sv0, my_db * d0_local, d0_local, axis=0
             )
             sv_local = jnp.concatenate([sv0_local, sv_ntt[d0:]], axis=0)
-            partial = scan.database_scan_decomp(ctx, db_flat, local_dims, sv_local)
+            partial = scan.database_scan_decomp(
+                ctx, db_flat, local_dims, sv_local, shoup_flat
+            )
             # cross-shard homomorphic add: reduced summands, exact u64 psum
             total = jax.lax.psum(partial, axis_name="db")
             return modular.barrett_reduce_64(
@@ -94,12 +109,12 @@ def make_sharded_pipeline(ctx: PirContext, dims: tuple, db_ntt, mesh: Mesh):
     mapped = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P("batch"), P(), P("db")),
+        in_specs=(P("batch"), P(), P("db"), P("db")),
         out_specs=P("batch"),
         check_vma=False,
     )
 
     def pipeline(query_cts, gk):
-        return mapped(query_cts, gk, db_blocks)
+        return mapped(query_cts, gk, db_blocks, shoup_blocks)
 
     return jax.jit(pipeline)

@@ -14,6 +14,7 @@ executable.
 from __future__ import annotations
 
 import functools
+import hashlib
 from typing import Optional
 
 import jax
@@ -35,6 +36,11 @@ class PirServer:
         self.db = db
         self.ctx = db.ctx
         self._expansion_elts = tuple(generate_galois_elts(self.ctx.n))
+        # Device-resident evaluation keys, cached by request-bytes digest:
+        # clients resend identical key blobs with every request (wire parity
+        # with the reference), but re-uploading ~10MB of keys per query
+        # through a slow host link would dominate the serve path.
+        self._key_cache: dict = {}
 
     @classmethod
     def create(cls, db: PirDatabase, params: PirParams) -> "PirServer":
@@ -79,17 +85,32 @@ class PirServer:
         return jax.jit(run)
 
     # ------------------------------------------------------------------
-    def process_request(self, request: pb.Request) -> pb.Response:
+    def _device_keys(self, request: pb.Request):
+        digest = hashlib.blake2b(
+            request.galois_keys + b"|" + request.relin_keys, digest_size=16
+        ).digest()
+        cached = self._key_cache.get(digest)
+        if cached is not None:
+            return cached
         galois = wire.deserialize_galois_keys(request.galois_keys)
         gk_arrays = {e: jnp.asarray(k.data) for e, k in galois.keys.items()}
         missing = [e for e in self._expansion_elts if e not in gk_arrays]
         if missing:
-            raise ValueError(f"request missing galois keys for elements {missing}")
+            raise ValueError(
+                f"request missing galois keys for elements {missing}"
+            )
         rk = None
         if request.relin_keys:
             rk = jnp.asarray(
                 wire.deserialize_relin_keys(request.relin_keys).key.data
             )
+        if len(self._key_cache) >= 8:
+            self._key_cache.pop(next(iter(self._key_cache)))
+        self._key_cache[digest] = (gk_arrays, rk)
+        return gk_arrays, rk
+
+    def process_request(self, request: pb.Request) -> pb.Response:
+        gk_arrays, rk = self._device_keys(request)
         if self.params.use_ciphertext_multiplication and rk is None and len(
             self.params.dimensions
         ) > 1:
@@ -127,13 +148,7 @@ class PirServer:
         Requires all queries to carry the same number of ciphertexts (always
         true for same-params clients).  Decomposition mode only.
         """
-        galois = wire.deserialize_galois_keys(request.galois_keys)
-        gk_arrays = {e: jnp.asarray(k.data) for e, k in galois.keys.items()}
-        rk = None
-        if request.relin_keys:
-            rk = jnp.asarray(
-                wire.deserialize_relin_keys(request.relin_keys).key.data
-            )
+        gk_arrays, rk = self._device_keys(request)
         stacks = [wire.load_ciphertexts(q) for q in request.query]
         if len({s.shape for s in stacks}) != 1:
             return self.process_request(request)
