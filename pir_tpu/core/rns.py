@@ -123,6 +123,8 @@ class RnsTool:
         self.t_mod_q = _mod_cols(t, self.q_moduli)
         self.t_mod_bsk = _mod_cols(t, self.bsk_moduli)
 
+        self._shoup_cache = {}
+
     # ------------------------------------------------------------------
     def _fastbconv(self, x, inv_punct, src_limbs, punct_mod_tgt, tgt_limbs):
         """Generic fast base conversion.
@@ -144,11 +146,7 @@ class RnsTool:
         acc = jnp.sum(prod, axis=-2)  # < k_src · q_tgt, fits u64
         return modular.barrett_reduce_64(acc, tgt_limbs.q, tgt_limbs.ratio_hi)
 
-    _shoup_cache: dict = None
-
     def _shoup(self, w: np.ndarray, limbs) -> np.ndarray:
-        if self._shoup_cache is None:
-            object.__setattr__(self, "_shoup_cache", {})
         key = (id(w), id(limbs))
         if key not in self._shoup_cache:
             self._shoup_cache[key] = modular.shoup_precompute(w, limbs.q)

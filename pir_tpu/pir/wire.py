@@ -119,6 +119,17 @@ def deserialize_encryption_params(b: bytes) -> EncryptionParams:
     return EncryptionParams.from_dict(json.loads(b[4:].decode()))
 
 
+def deserialize_encryption_params_any(b: bytes) -> EncryptionParams:
+    """Accept either the native PTPE encoding or a SEAL 3.5 stream."""
+    from pir_tpu.pir import seal_compat
+
+    if b.startswith(b"PTPE"):
+        return deserialize_encryption_params(b)
+    if seal_compat.looks_like_seal_stream(b):
+        return seal_compat.load_encryption_params(b)
+    raise ValueError("unrecognized encryption-parameters encoding")
+
+
 def pir_params_to_proto(p: PirParams) -> pb.PIRParameters:
     msg = pb.PIRParameters()
     msg.num_items = p.num_items
@@ -137,7 +148,7 @@ def pir_params_from_proto(msg: pb.PIRParameters) -> PirParams:
         num_items=msg.num_items,
         num_pt=msg.num_pt,
         dimensions=tuple(msg.dimensions),
-        encryption_params=deserialize_encryption_params(
+        encryption_params=deserialize_encryption_params_any(
             msg.encryption_parameters
         ),
         bytes_per_item=msg.bytes_per_item,
