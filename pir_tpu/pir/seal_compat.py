@@ -76,6 +76,13 @@ def parse_header(b: bytes) -> dict:
 
 
 def load_encryption_params(b: bytes) -> EncryptionParams:
+    try:
+        return _load_encryption_params(b)
+    except struct.error as e:
+        raise ValueError(f"truncated SEAL stream: {e}") from e
+
+
+def _load_encryption_params(b: bytes) -> EncryptionParams:
     parse_header(b)
     off = 16
     (scheme,) = struct.unpack_from("<B", b, off)

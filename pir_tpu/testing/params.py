@@ -15,7 +15,7 @@ def tiny_encryption_params(
     n: int = 64, t_bits: int = 12, q_bits=(26, 27, 28)
 ) -> EncryptionParams:
     """N-degree ring with small NTT primes; last prime is the special prime."""
-    coeff = [primes.get_prime(2 * n, b) for b in q_bits]
+    coeff = primes.coeff_modulus_from_bits(n, list(q_bits))
     t = primes.get_prime(2 * n, t_bits)
     p = EncryptionParams(
         poly_modulus_degree=n, plain_modulus=t, coeff_modulus=tuple(coeff)

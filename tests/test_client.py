@@ -80,3 +80,43 @@ def test_response_count_mismatch_rejected():
     client = PirClient.create(params, seed=3)
     with pytest.raises(ValueError):
         client.process_response([0, 1], pb.Response())
+
+
+def test_process_reply_synthetic_decomposition():
+    """Client reply processing against synthetically decomposed replies —
+    the client_test.cpp:350-515 pattern: server-side scan is bypassed; the
+    reply is hand-built by decomposing an encryption of the target."""
+    import jax.numpy as jnp
+    from pir_tpu.bfv import encrypt as enc_mod
+    from pir_tpu.ops import decompose
+    from pir_tpu.proto import payload_pb2 as pb
+
+    for d in (1, 2, 3):
+        params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=d, n=64)
+        client = PirClient.create(params, seed=11)
+        ctx = client.ctx
+        target = np.arange(ctx.n, dtype=np.uint64) % ctx.t
+        ct = enc_mod.encrypt(ctx, client.pk, target, client._rng)
+
+        # build the reply the way the server's decomposition recursion would:
+        # (d-1) rounds of decompose, innermost first
+        cts = [np.asarray(ct)]
+        for _ in range(d - 1):
+            nxt = []
+            for c in cts:
+                pts = np.asarray(decompose.decompose_ct(ctx, jnp.asarray(c)))
+                for k in range(pts.shape[0]):
+                    # encrypt each digit plaintext (sv x digit with sv = Enc(1))
+                    nxt.append(
+                        np.asarray(enc_mod.encrypt(ctx, client.pk, pts[k], client._rng))
+                    )
+            cts = nxt
+        er2 = decompose.expansion_ratio(ctx) * 2
+        assert len(cts) == er2 ** (d - 1)
+
+        reply = pb.Ciphertexts()
+        from pir_tpu.pir import wire as wire_mod
+
+        wire_mod.save_ciphertexts(np.stack(cts), reply)
+        got = client._process_reply(reply)
+        assert (got == target).all(), d

@@ -75,3 +75,17 @@ def test_integer_encoder_scaled_coeffs():
     enc = IntegerEncoder(64, 0xFC1)
     pt = enc.encode(5)  # 101 in binary
     assert enc.decode_int64(pt) == 5
+
+
+@pytest.mark.parametrize(
+    "n,t,expected_max",
+    [
+        # parameterized max-bytes table (string_encoder_test.cpp:202-211 role)
+        (4096, 0xFC001, 9728),      # 19 bits/coeff
+        (8192, 0xFC001, 19456),
+        (4096, (1 << 16) + 1, 8192),  # 16 bits/coeff
+        (2048, 0xFC001, 4864),
+    ],
+)
+def test_max_bytes_table(n, t, expected_max):
+    assert StringEncoder(n, t).max_bytes_per_plaintext() == expected_max

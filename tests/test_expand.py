@@ -119,3 +119,32 @@ def test_expansion_scaling_cancels_with_m_inverse(tk):
     got = _decrypt_all(tk, out)
     for i in range(num_items):
         assert got[i][0] == (1 if i == idx else 0), i
+
+
+@pytest.mark.slow
+def test_expansion_multi_ct_full_ring():
+    """Reference multi-CT semantics at a full ring boundary
+    (server_test.cpp:423-428 pattern, N=512 to stay CPU-fast): spill index
+    in the second ciphertext, per-ct scale factors N and next_pow2(rest)."""
+    from pir_tpu.testing.params import tiny_pir_params
+
+    n = 512
+    tkr = make_toolkit(
+        tiny_pir_params(dbsize=10, bytes_per_item=8, n=n, t_bits=20,
+                        q_bits=(30, 31, 32))
+    )
+    gk = {e: jnp.asarray(k.data) for e, k in tkr.galois.keys.items()}
+    for num_items, index, expected in [(n + 200, n - 1, n), (n + 200, n + 90, 256)]:
+        num_cts = num_items // n + 1
+        cts = []
+        for c in range(num_cts):
+            m = np.zeros(n, dtype=np.uint64)
+            if c == index // n:
+                m[index % n] = 1
+            cts.append(enc_mod.encrypt(tkr.ctx, tkr.pk, m, tkr.rng))
+        out = expand.expand_query(tkr.ctx, gk, jnp.stack(cts), num_items)
+        assert out.shape[0] == num_items
+        for i in (index - 1, index, index + 1, 0, num_items - 1):
+            got = enc_mod.decrypt(tkr.ctx, tkr.sk, out[i])
+            want = expected if i == index else 0
+            assert got[0] == want and got[1:].sum() == 0, i
