@@ -112,7 +112,7 @@ def cpu_baseline(db_size) -> float:
     return qps
 
 
-def _measure_child(db_size: int, iters: int) -> float:
+def _measure_child(db_size: int, iters: int, timeout: int = 1500) -> float:
     """Run the accelerator measurement in a subprocess (guards against the
     occasional wedged remote-compile), return qps."""
     env = dict(os.environ)
@@ -123,7 +123,7 @@ def _measure_child(db_size: int, iters: int) -> float:
         env=env,
         capture_output=True,
         text=True,
-        timeout=int(os.environ.get("PIR_BENCH_TIMEOUT", 1500)),
+        timeout=int(os.environ.get("PIR_BENCH_TIMEOUT", timeout)),
     )
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
     return json.loads(line)["qps"]
@@ -153,7 +153,8 @@ def main():
             jax.config.update("jax_platforms", "axon,cpu")
             jax.devices("cpu")
         except Exception:
-            pass
+            # axon plugin absent (e.g. CPU-only run): fall back cleanly
+            jax.config.update("jax_platforms", "cpu")
         qps = measure_qps(args.iters, DB_SIZE)
         print(json.dumps({"qps": qps}))
         return
@@ -166,7 +167,7 @@ def main():
         try:
             # wedged compile or OOM at full size: fall back to a smaller DB
             db_size = 4096
-            qps = _measure_child(db_size, args.iters)
+            qps = _measure_child(db_size, args.iters, timeout=600)
         except Exception:
             # accelerator unreachable (e.g. stuck chip claim): record the
             # CPU number rather than nothing

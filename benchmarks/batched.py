@@ -1,0 +1,81 @@
+"""Batched-query throughput — BASELINE config 4 ("batched queries amortizing
+the DB scan").  Measures process_request_batched at several batch widths.
+
+Run: python benchmarks/batched.py [--db-size N] [--batches 1,8,32]
+Prints one JSON line per batch width.
+"""
+
+import argparse
+import json
+import pathlib
+import sys
+import time
+
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--db-size", type=int, default=4096)
+    ap.add_argument("--batches", default="1,8,32")
+    ap.add_argument("--iters", type=int, default=3)
+    args = ap.parse_args()
+
+    import jax
+
+    try:
+        jax.config.update("jax_platforms", "axon,cpu")
+        jax.devices("cpu")
+    except Exception:
+        # axon plugin absent (e.g. CPU-only run): fall back cleanly
+        jax.config.update("jax_platforms", "cpu")
+
+    import numpy as np
+
+    from pir_tpu.core.params import (
+        create_pir_parameters,
+        generate_encryption_params,
+    )
+    from pir_tpu.pir.client import PirClient
+    from pir_tpu.pir.database import PirDatabase
+    from pir_tpu.pir.server import PirServer
+
+    size = args.db_size
+    params = create_pir_parameters(
+        size, 288, 2, generate_encryption_params(4096, 24)
+    )
+    rng = np.random.default_rng(42)
+    base = [rng.integers(0, 256, 288, dtype=np.uint8).tobytes() for _ in range(2048)]
+    raw = [base[i % 2048] for i in range(size)]
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=7)
+    server = PirServer.create(db, params)
+    backend = jax.default_backend()
+
+    for b in [int(x) for x in args.batches.split(",")]:
+        indices = [int(rng.integers(0, size)) for _ in range(b)]
+        request = client.create_request(indices)
+        resp = server.process_request_batched(request)  # compile
+        out = client.process_response(indices, resp)
+        assert out[0] == raw[indices[0]]
+        t0 = time.perf_counter()
+        for _ in range(args.iters):
+            resp = server.process_request_batched(request)
+        dt = (time.perf_counter() - t0) / args.iters
+        print(
+            json.dumps(
+                {
+                    "metric": "batched ProcessRequest",
+                    "backend": backend,
+                    "db_size": size,
+                    "batch": b,
+                    "seconds_per_request": round(dt, 4),
+                    "queries_per_sec": round(b / dt, 3),
+                }
+            ),
+            flush=True,
+        )
+
+
+if __name__ == "__main__":
+    main()

@@ -35,7 +35,8 @@ def main():
         jax.config.update("jax_platforms", "axon,cpu")
         jax.devices("cpu")
     except Exception:
-        pass
+        # axon plugin absent (e.g. CPU-only run): fall back cleanly
+        jax.config.update("jax_platforms", "cpu")
 
     import numpy as np
 

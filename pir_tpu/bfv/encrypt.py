@@ -46,11 +46,8 @@ def encrypt(
     ctx: PirContext, pk: PublicKey, m: np.ndarray, rng: np.random.Generator
 ) -> jnp.ndarray:
     """Fresh encryption of plaintext m (u64[N], mod t) -> u64[2, L, N]."""
-    lq = ctx.limbs_q
-    u = ctx.ntt_q.forward(
-        jnp.asarray(
-            sampling.signed_to_rns(sampling.ternary_poly(rng, ctx.n), ctx.ct_moduli)
-        )
+    u = jnp.asarray(
+        sampling.signed_to_rns(sampling.ternary_poly(rng, ctx.n), ctx.ct_moduli)
     )
     e0 = jnp.asarray(
         sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
@@ -58,12 +55,24 @@ def encrypt(
     e1 = jnp.asarray(
         sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
     )
-    c0 = lq.add(
-        lq.add(ctx.ntt_q.inverse(lq.mul(pk.data[0], u)), e0),
-        lift_plaintext(ctx, m),
+
+    def build():
+        lq = ctx.limbs_q
+
+        def fn(pk_data, u_coeff, e0, e1, scaled_m):
+            u_ntt = ctx.ntt_q.forward(u_coeff)
+            c0 = lq.add(
+                lq.add(ctx.ntt_q.inverse(lq.mul(pk_data[0], u_ntt)), e0),
+                scaled_m,
+            )
+            c1 = lq.add(ctx.ntt_q.inverse(lq.mul(pk_data[1], u_ntt)), e1)
+            return jnp.stack([c0, c1])
+
+        return fn
+
+    return ctx.jitted("encrypt", build)(
+        pk.data, u, e0, e1, lift_plaintext(ctx, m)
     )
-    c1 = lq.add(ctx.ntt_q.inverse(lq.mul(pk.data[1], u)), e1)
-    return jnp.stack([c0, c1])
 
 
 def encrypt_zero(
@@ -75,14 +84,22 @@ def encrypt_zero(
 def _phase(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:
     """c0 + c1·s (+ c2·s² ...) mod q, coefficient form — Horner over s."""
     size = ct.shape[-3]
-    lq = ctx.limbs_q
-    acc = ct[..., size - 1, :, :]
-    for k in range(size - 2, -1, -1):
-        acc = lq.add(
-            ctx.ntt_q.inverse(lq.mul(ctx.ntt_q.forward(acc), sk.ntt_q)),
-            ct[..., k, :, :],
-        )
-    return np.asarray(acc)
+
+    def build():
+        lq = ctx.limbs_q
+
+        def fn(ct, s_ntt):
+            acc = ct[..., size - 1, :, :]
+            for k in range(size - 2, -1, -1):
+                acc = lq.add(
+                    ctx.ntt_q.inverse(lq.mul(ctx.ntt_q.forward(acc), s_ntt)),
+                    ct[..., k, :, :],
+                )
+            return acc
+
+        return fn
+
+    return np.asarray(ctx.jitted(f"phase{size}", build)(ct, sk.ntt_q))
 
 
 def decrypt(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:

@@ -69,25 +69,30 @@ def gen_secret_key(ctx: PirContext, rng: np.random.Generator) -> SecretKey:
     s = sampling.ternary_poly(rng, ctx.n)
     s_q = jnp.asarray(sampling.signed_to_rns(s, ctx.ct_moduli))
     s_qp = jnp.asarray(sampling.signed_to_rns(s, ctx.key_moduli))
-    return SecretKey(
-        coeffs=s,
-        ntt_q=ctx.ntt_q.forward(s_q),
-        ntt_qp=ctx.ntt_qp.forward(s_qp),
-    )
+    fwd_q = ctx.jitted("ntt_q_fwd", lambda: ctx.ntt_q.forward)
+    fwd_qp = ctx.jitted("ntt_qp_fwd", lambda: ctx.ntt_qp.forward)
+    return SecretKey(coeffs=s, ntt_q=fwd_q(s_q), ntt_qp=fwd_qp(s_qp))
 
 
 def gen_public_key(
     ctx: PirContext, sk: SecretKey, rng: np.random.Generator
 ) -> PublicKey:
     a = jnp.asarray(sampling.uniform_rns(rng, ctx.ct_moduli, ctx.n))  # NTT form
-    e = ctx.ntt_q.forward(
-        jnp.asarray(
-            sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
-        )
+    e = jnp.asarray(
+        sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
     )
-    lq = ctx.limbs_q
-    pk0 = lq.neg(lq.add(lq.mul(a, sk.ntt_q), e))
-    return PublicKey(data=jnp.stack([pk0, a]))
+
+    def build():
+        lq = ctx.limbs_q
+
+        def fn(a, e_coeff, s_ntt):
+            e_ntt = ctx.ntt_q.forward(e_coeff)
+            pk0 = lq.neg(lq.add(lq.mul(a, s_ntt), e_ntt))
+            return jnp.stack([pk0, a])
+
+        return fn
+
+    return PublicKey(data=ctx.jitted("gen_pk", build)(a, e, sk.ntt_q))
 
 
 def gen_kswitch_key(
@@ -101,30 +106,49 @@ def gen_kswitch_key(
         raise ValueError(
             "key switching requires a special prime (>=2 coeff moduli)"
         )
-    lqp = ctx.limbs_qp
-    components = []
-    for i in range(ctx.L):
-        a = jnp.asarray(sampling.uniform_rns(rng, ctx.key_moduli, ctx.n))
-        e = ctx.ntt_qp.forward(
-            jnp.asarray(
+
+    def build():
+        lqp = ctx.limbs_qp
+
+        def fn(a_all, e_all, s_ntt_qp, target):
+            # a_all/e_all: [L, Lp, N] (a in NTT form, e in coeff form)
+            e_ntt = ctx.ntt_qp.forward(e_all)
+            b = lqp.neg(lqp.add(lqp.mul(a_all, s_ntt_qp), e_ntt))
+            # Fold P·target into limb i of component i (NTT domain).
+            comps = []
+            for i in range(ctx.L):
+                qi = int(ctx.ct_moduli[i])
+                factor = np.uint64(int(ctx.special) % qi)
+                rhi, rlo = modular.barrett_ratio(qi)
+                folded = modular.mul_mod(
+                    target[i], factor, np.uint64(qi), np.uint64(rhi),
+                    np.uint64(rlo),
+                )
+                bi = b[i].at[i].set(
+                    modular.add_mod(b[i, i], folded, np.uint64(qi))
+                )
+                comps.append(jnp.stack([bi, a_all[i]]))
+            return jnp.stack(comps)
+
+        return fn
+
+    a_all = jnp.asarray(
+        np.stack(
+            [sampling.uniform_rns(rng, ctx.key_moduli, ctx.n) for _ in range(ctx.L)]
+        )
+    )
+    e_all = jnp.asarray(
+        np.stack(
+            [
                 sampling.signed_to_rns(
                     sampling.error_poly(rng, ctx.n), ctx.key_moduli
                 )
-            )
+                for _ in range(ctx.L)
+            ]
         )
-        b = lqp.neg(lqp.add(lqp.mul(a, sk.ntt_qp), e))
-        # Fold P·target into limb i (scalar constant multiply in NTT domain).
-        qi = int(ctx.ct_moduli[i])
-        factor = np.uint64(int(ctx.special) % qi)
-        rhi, rlo = modular.barrett_ratio(qi)
-        folded = modular.mul_mod(
-            target_ntt_qp[i], factor, np.uint64(qi), np.uint64(rhi), np.uint64(rlo)
-        )
-        b = b.at[i].set(
-            modular.add_mod(b[i], folded, np.uint64(qi))
-        )
-        components.append(jnp.stack([b, a]))
-    return KSwitchKey(data=jnp.stack(components))
+    )
+    data = ctx.jitted("gen_ksk", build)(a_all, e_all, sk.ntt_qp, target_ntt_qp)
+    return KSwitchKey(data=data)
 
 
 def _automorph_signed(coeffs: np.ndarray, galois_elt: int) -> np.ndarray:
@@ -143,12 +167,11 @@ def _automorph_signed(coeffs: np.ndarray, galois_elt: int) -> np.ndarray:
 def gen_galois_keys(
     ctx: PirContext, sk: SecretKey, elts, rng: np.random.Generator
 ) -> GaloisKeys:
+    fwd_qp = ctx.jitted("ntt_qp_fwd", lambda: ctx.ntt_qp.forward)
     keys = {}
     for elt in elts:
         s_g = _automorph_signed(sk.coeffs, int(elt))
-        target = ctx.ntt_qp.forward(
-            jnp.asarray(sampling.signed_to_rns(s_g, ctx.key_moduli))
-        )
+        target = fwd_qp(jnp.asarray(sampling.signed_to_rns(s_g, ctx.key_moduli)))
         keys[int(elt)] = gen_kswitch_key(ctx, sk, target, rng)
     return GaloisKeys(keys=keys)
 

@@ -86,6 +86,20 @@ class PirContext:
             for i, m in enumerate(self.ct_moduli)
         ]
 
+        # per-context cache for jitted helper entry points (keygen/encrypt
+        # device math would otherwise dispatch op-by-op on the host backend)
+        self.jit_cache: dict = {}
+
+    def jitted(self, name: str, builder):
+        """Memoize jax.jit(builder()) under `name` for this context."""
+        fn = self.jit_cache.get(name)
+        if fn is None:
+            import jax
+
+            fn = jax.jit(builder())
+            self.jit_cache[name] = fn
+        return fn
+
     # ------------------------------------------------------------------
     # Permutation tables (Galois automorphisms, negacyclic monomial shifts)
     # ------------------------------------------------------------------
