@@ -23,7 +23,9 @@ import time
 REPO = pathlib.Path(__file__).resolve().parent
 CACHE = REPO / "benchmarks" / "cpu_baseline.json"
 
-DB_SIZE = int(os.environ.get("PIR_BENCH_DB_SIZE", 1 << 16))
+# Default: the BASELINE "1M-element DB" headline config; falls back to
+# smaller sizes / CPU if the accelerator misbehaves (see main()).
+DB_SIZE = int(os.environ.get("PIR_BENCH_DB_SIZE", 1 << 20))
 ITEM_SIZE = 288
 DIMENSIONS = 2
 POLY_DEGREE = 4096
@@ -166,8 +168,8 @@ def main():
     except Exception:
         try:
             # wedged compile or OOM at full size: fall back to a smaller DB
-            db_size = 4096
-            qps = _measure_child(db_size, args.iters, timeout=600)
+            db_size = 1 << 16
+            qps = _measure_child(db_size, args.iters, timeout=900)
         except Exception:
             # accelerator unreachable (e.g. stuck chip claim): record the
             # CPU number rather than nothing

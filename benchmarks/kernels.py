@@ -23,12 +23,22 @@ import numpy as np
 
 
 def bench_op(fn, *args, iters=10):
+    """Chained timing: feed the output back as the first input so the device
+    cannot overlap iterations (async dispatch otherwise under-reports), and
+    force a readback at the end."""
+    import numpy as np
     import jax
 
-    out = jax.block_until_ready(fn(*args))  # compile
+    out = jax.block_until_ready(fn(*args))  # compile + first-exec warmup
+    same_shape = getattr(out, "shape", None) == getattr(args[0], "shape", None)
     t0 = time.perf_counter()
+    x = args[0]
     for _ in range(iters):
-        out = jax.block_until_ready(fn(*args))
+        out = fn(x, *args[1:])
+        if same_shape:
+            x = out
+    jax.block_until_ready(out)
+    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
     return (time.perf_counter() - t0) / iters
 
 
