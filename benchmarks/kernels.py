@@ -120,6 +120,12 @@ def main():
     )
 
     # key switch ---------------------------------------------------------
+    if len(primes.default_coeff_modulus(N)) < 2:
+        # keyswitch needs a special prime; the secure default chain for
+        # small rings has one prime, so this section needs N >= 4096
+        for r in results:
+            print(json.dumps(r))
+        return
     params = create_pir_parameters(
         16, 0, 1, generate_encryption_params(N, 20)
     )
