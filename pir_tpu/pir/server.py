@@ -142,8 +142,23 @@ class PirServer:
 
         return jax.jit(run)
 
+    def _max_vmap_lanes(self) -> int:
+        """Cap the vmapped batch width by an HBM transient estimate.
+
+        Each vmap lane materializes roughly 3× the padded DB's stage-1
+        working set (products, partial sums, NTT selection vector); an
+        uncapped batch-8 at a 65536-item DB faults the device (observed
+        FailedPrecondition / corrupt readback on v5e).
+        """
+        import os
+
+        lane_bytes = 3 * self.db.padded_size * 2 * self.ctx.L * self.ctx.n * 8
+        budget = int(os.environ.get("PIR_BATCH_MEM_BUDGET", 4 << 30))
+        return max(1, budget // max(1, lane_bytes))
+
     def process_request_batched(self, request: pb.Request) -> pb.Response:
-        """Like process_request, but runs every query in one batched program.
+        """Like process_request, but runs queries in batched device programs
+        (vmap width capped by the HBM estimate above, chunking as needed).
 
         Requires all queries to carry the same number of ciphertexts (always
         true for same-params clients).  Decomposition mode only.
@@ -154,14 +169,17 @@ class PirServer:
             return self.process_request(request)
         import numpy as np
 
-        batch = jnp.asarray(np.stack(stacks))
-        replies = self._pipeline_batched(batch.shape[1], batch.shape[0])(
-            batch, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
-        )
-        replies = jax.device_get(replies)
+        all_queries = np.stack(stacks)
+        lanes = min(self._max_vmap_lanes(), all_queries.shape[0])
         response = pb.Response()
-        for qi in range(replies.shape[0]):
-            wire.save_ciphertexts(replies[qi], response.reply.add())
+        for start in range(0, all_queries.shape[0], lanes):
+            chunk = jnp.asarray(all_queries[start : start + lanes])
+            replies = self._pipeline_batched(chunk.shape[1], chunk.shape[0])(
+                chunk, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
+            )
+            replies = jax.device_get(replies)
+            for qi in range(replies.shape[0]):
+                wire.save_ciphertexts(replies[qi], response.reply.add())
         return response
 
     # ------------------------------------------------------------------
