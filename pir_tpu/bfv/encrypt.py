@@ -82,31 +82,39 @@ def encrypt_zero(
 
 
 def _phase(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:
-    """c0 + c1·s (+ c2·s² ...) mod q, coefficient form — Horner over s."""
+    """c0 + c1·s (+ c2·s² ...) mod q', coefficient form — Horner over s.
+
+    The modulus level is read off the limb axis, so mod-switched
+    ciphertexts (ops/modswitch.py) decrypt at their reduced q'.
+    """
     size = ct.shape[-3]
+    level = ct.shape[-2]
+    ntt = ctx.ntt_q if level == ctx.L else ctx.ntt_qp.slice(level)
 
     def build():
-        lq = ctx.limbs_q
+        lq = ntt.limbs
 
         def fn(ct, s_ntt):
             acc = ct[..., size - 1, :, :]
             for k in range(size - 2, -1, -1):
                 acc = lq.add(
-                    ctx.ntt_q.inverse(lq.mul(ctx.ntt_q.forward(acc), s_ntt)),
+                    ntt.inverse(lq.mul(ntt.forward(acc), s_ntt)),
                     ct[..., k, :, :],
                 )
             return acc
 
         return fn
 
-    return np.asarray(ctx.jitted(f"phase{size}", build)(ct, sk.ntt_q))
+    return np.asarray(
+        ctx.jitted(f"phase{size}_{level}", build)(ct, sk.ntt_q[:level])
+    )
 
 
 def decrypt(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:
-    """Decrypt to a plaintext u64[N] mod t: m = round(t·phase/q) mod t."""
+    """Decrypt to a plaintext u64[N] mod t: m = round(t·phase/q') mod t."""
     phase = _phase(ctx, sk, ct)
     coeffs = ctx.crt_lift(phase)
-    q = ctx.q_big
+    q = ctx.q_prod(ct.shape[-2])
     t = ctx.t
     half = q >> 1
     out = np.zeros(ctx.n, dtype=np.uint64)
@@ -124,7 +132,7 @@ def invariant_noise_budget(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> i
     """
     phase = _phase(ctx, sk, ct)
     coeffs = ctx.crt_lift(phase)
-    q = ctx.q_big
+    q = ctx.q_prod(ct.shape[-2])
     t = ctx.t
     vmax = 0
     for c in coeffs:

@@ -79,12 +79,9 @@ class PirContext:
                 [[p % m] for m in self.ct_moduli], dtype=np.uint64
             )
 
-        # CRT reconstruction constants for exact decrypt (host-side).
-        self._crt_punctured = [self.q_big // m for m in self.ct_moduli]
-        self._crt_inv = [
-            pow(self._crt_punctured[i] % m, -1, m)
-            for i, m in enumerate(self.ct_moduli)
-        ]
+        # CRT reconstruction constants for exact decrypt (host-side) are
+        # built lazily per modulus level in _crt_consts (mod-switched
+        # ciphertexts decrypt at a reduced level).
 
         # per-context cache for jitted helper entry points (keygen/encrypt
         # device math would otherwise dispatch op-by-op on the host backend)
@@ -170,17 +167,41 @@ class PirContext:
                 yield
 
     # ------------------------------------------------------------------
-    # Host-side exact CRT
+    # Host-side exact CRT (any modulus level — mod-switched cts decrypt
+    # at fewer limbs than the context's full L)
     # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=None)
+    def q_prod(self, level: int) -> int:
+        """Product of the first `level` ciphertext moduli."""
+        p = 1
+        for m in self.ct_moduli[:level]:
+            p *= m
+        return p
+
+    @functools.lru_cache(maxsize=None)
+    def _crt_consts(self, level: int):
+        qbig = self.q_prod(level)
+        punctured = [qbig // m for m in self.ct_moduli[:level]]
+        inv = [
+            pow(punctured[i] % m, -1, m)
+            for i, m in enumerate(self.ct_moduli[:level])
+        ]
+        return qbig, punctured, inv
+
     def crt_lift(self, residues: np.ndarray) -> list[int]:
-        """u64[L, N] RNS residues -> per-coefficient big ints in [0, q)."""
+        """u64[L', N] RNS residues -> per-coefficient big ints in [0, q').
+
+        The modulus level is inferred from the limb axis, so reduced
+        (mod-switched) polynomials lift at their own q'.
+        """
         residues = np.asarray(residues)
+        level = residues.shape[0]
+        qbig, punctured, inv = self._crt_consts(level)
         out = [0] * residues.shape[-1]
-        for i, m in enumerate(self.ct_moduli):
-            qi = self._crt_punctured[i]
-            inv = self._crt_inv[i]
+        for i, m in enumerate(self.ct_moduli[:level]):
             row = residues[i].astype(object)
-            contrib = (row * inv) % m
+            contrib = (row * inv[i]) % m
+            qi = punctured[i]
             for c in range(len(out)):
-                out[c] = (out[c] + int(contrib[c]) * qi) % self.q_big
+                out[c] = (out[c] + int(contrib[c]) * qi) % qbig
         return out

@@ -50,12 +50,19 @@ def default_mesh(devices=None, batch: int = 1) -> Mesh:
 
 
 def make_sharded_pipeline(
-    ctx: PirContext, dims: tuple, db_ntt, mesh: Mesh, db_shoup=None
+    ctx: PirContext,
+    dims: tuple,
+    db_ntt,
+    mesh: Mesh,
+    db_shoup=None,
+    reply_limbs: int | None = None,
 ):
     """Jitted multi-query pipeline: (query_cts, galois_keys) -> replies.
 
     query_cts: u64[Q, num_cts, 2, L, N] with Q a multiple of the mesh
-    "batch" axis.  Returns u64[Q, (2·ER)^(d-1), 2, L, N].
+    "batch" axis.  Returns u64[Q, (2·ER)^(d-1), 2, L', N] where L' is
+    `reply_limbs` when set (replies mod-switched after the cross-shard
+    reduction — ops/modswitch.py) and the full L otherwise.
     """
     dim_sum = sum(dims)
     d0 = dims[0]
@@ -100,9 +107,14 @@ def make_sharded_pipeline(
             )
             # cross-shard homomorphic add: reduced summands, exact u64 psum
             total = jax.lax.psum(partial, axis_name="db")
-            return modular.barrett_reduce_64(
+            reply = modular.barrett_reduce_64(
                 total, ctx.limbs_q.q, ctx.limbs_q.ratio_hi
             )
+            if reply_limbs is not None:
+                from pir_tpu.ops import modswitch
+
+                reply = modswitch.mod_switch_to(ctx, reply, reply_limbs)
+            return reply
 
         return jax.vmap(one_query)(query_local)
 

@@ -29,12 +29,27 @@ from pir_tpu.utils.math import generate_galois_elts
 
 
 class PirServer:
-    def __init__(self, db: PirDatabase, params: PirParams):
+    def __init__(
+        self,
+        db: PirDatabase,
+        params: PirParams,
+        reply_limbs: Optional[int] = None,
+    ):
+        """reply_limbs: if set, mod-switch reply ciphertexts down to this
+        many RNS limbs before serialization (ops/modswitch.py) — shrinks
+        reply bytes by L/reply_limbs.  Transparent to the client (the limb
+        count travels in the array shape).  Caller must leave enough noise
+        budget: the margin drops by the bits of every dropped prime."""
         if params.num_pt != db.size:
             raise ValueError("database size mismatch")
+        if reply_limbs is not None and not (
+            1 <= reply_limbs <= len(params.encryption_params.ct_modulus)
+        ):
+            raise ValueError("reply_limbs out of range for the modulus chain")
         self.params = params
         self.db = db
         self.ctx = db.ctx
+        self.reply_limbs = reply_limbs
         self._expansion_elts = tuple(generate_galois_elts(self.ctx.n))
         # Device-resident evaluation keys, cached by request-bytes digest:
         # clients resend identical key blobs with every request (wire parity
@@ -58,6 +73,14 @@ class PirServer:
         ctx = self.ctx
         dims = self.params.dimensions
         dim_sum = self.params.dimensions_sum
+        keep = self.reply_limbs
+
+        def shrink(reply):
+            if keep is None:
+                return reply
+            from pir_tpu.ops import modswitch
+
+            return modswitch.mod_switch_to(ctx, reply, keep)
 
         if self.params.use_ciphertext_multiplication:
 
@@ -66,8 +89,8 @@ class PirServer:
                 sv = expand.expand_query(
                     ctx, galois_key_arrays, query_cts, dim_sum
                 )
-                return scan.database_scan_ctmult(
-                    ctx, db_ntt, dims, sv, relin_key
+                return shrink(
+                    scan.database_scan_ctmult(ctx, db_ntt, dims, sv, relin_key)
                 )
 
         else:
@@ -78,8 +101,8 @@ class PirServer:
                     ctx, galois_key_arrays, query_cts, dim_sum
                 )
                 sv_ntt = ctx.ntt_q.forward(sv)
-                return scan.database_scan_decomp(
-                    ctx, db_ntt, dims, sv_ntt, db_shoup
+                return shrink(
+                    scan.database_scan_decomp(ctx, db_ntt, dims, sv_ntt, db_shoup)
                 )
 
         return jax.jit(run)

@@ -68,3 +68,30 @@ def test_sharded_end_to_end_decode():
     out = client.process_response(indices, resp)
     for i, idx in enumerate(indices):
         assert out[i] == raw[idx]
+
+
+def test_sharded_with_shrunken_reply():
+    params = tiny_pir_params(
+        dbsize=30, bytes_per_item=8, dimensions=2, n=128, q_bits=(30, 30, 32)
+    )
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    mesh = sharded.default_mesh(batch=2)
+    indices = [0, 29]
+    queries = np.stack([client._create_query(i) for i in indices])
+    gk = {e: jnp.asarray(k.data) for e, k in client.galois_keys.keys.items()}
+    pipeline = sharded.make_sharded_pipeline(
+        db.ctx, params.dimensions, db.db_ntt, mesh, reply_limbs=1
+    )
+    replies = np.asarray(pipeline(jnp.asarray(queries), gk))
+    assert replies.shape[-2] == 1  # single limb crossed the wire
+
+    from pir_tpu.proto import payload_pb2 as pb
+
+    resp = pb.Response()
+    for qi in range(len(indices)):
+        wire.save_ciphertexts(replies[qi], resp.reply.add())
+    out = client.process_response(indices, resp)
+    for i, idx in enumerate(indices):
+        assert out[i] == raw[idx]
