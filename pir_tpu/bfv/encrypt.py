@@ -81,6 +81,56 @@ def encrypt_zero(
     return encrypt(ctx, pk, np.zeros(ctx.n, dtype=np.uint64), rng)
 
 
+def expand_a_from_seed(ctx: PirContext, seed: bytes) -> np.ndarray:
+    """Deterministic uniform ring element u64[L, N] (coeff form) from a
+    16-byte seed.  Shared by the encryptor and anyone re-expanding a
+    seeded ciphertext (the server, pir/wire.py)."""
+    gen = np.random.Generator(np.random.Philox(key=int.from_bytes(seed, "little")))
+    return sampling.uniform_rns(gen, ctx.ct_moduli, ctx.n)
+
+
+def encrypt_symmetric_seeded(
+    ctx: PirContext,
+    sk: SecretKey,
+    m: np.ndarray,
+    rng: np.random.Generator,
+    seed: "bytes | None" = None,
+) -> tuple[np.ndarray, bytes]:
+    """Symmetric seeded encryption: returns (c0 u64[L, N], seed).
+
+    The full ciphertext is (c0, a) with a = expand_a_from_seed(seed), so
+    only c0 + 16 bytes cross the wire — half the bytes of a full fresh
+    ciphertext.  Semantics of seal::Encryptor::encrypt_symmetric with a
+    seeded second polynomial (the reference sends full ciphertexts,
+    pir/cpp/client.cpp:136-140; this is a wire-size optimization the
+    PTS1 codec in pir/wire.py carries transparently).
+
+        c0 = Δm + e - a·s   ⇒   c0 + a·s = Δm + e
+    """
+    if seed is None:
+        seed = rng.bytes(16)
+    a = jnp.asarray(expand_a_from_seed(ctx, seed))
+    e = jnp.asarray(
+        sampling.signed_to_rns(sampling.error_poly(rng, ctx.n), ctx.ct_moduli)
+    )
+
+    def build():
+        lq = ctx.limbs_q
+
+        def fn(a_coeff, e, s_ntt, scaled_m):
+            a_s = ctx.ntt_q.inverse(
+                lq.mul(ctx.ntt_q.forward(a_coeff), s_ntt)
+            )
+            return lq.sub(lq.add(scaled_m, e), a_s)
+
+        return fn
+
+    c0 = ctx.jitted("encrypt_sym", build)(
+        a, e, sk.ntt_q, lift_plaintext(ctx, m)
+    )
+    return np.asarray(c0), seed
+
+
 def _phase(ctx: PirContext, sk: SecretKey, ct: jnp.ndarray) -> np.ndarray:
     """c0 + c1·s (+ c2·s² ...) mod q', coefficient form — Horner over s.
 

@@ -29,7 +29,16 @@ from pir_tpu.utils.math import generate_galois_elts, invert_mod, next_power_two
 
 
 class PirClient:
-    def __init__(self, params: PirParams, seed: Optional[int] = None):
+    def __init__(
+        self,
+        params: PirParams,
+        seed: Optional[int] = None,
+        compress_queries: bool = False,
+    ):
+        """compress_queries: serialize query ciphertexts in seeded
+        symmetric form (c0 + 16-byte PRG seed, PTS1 codec) — half the
+        upload bytes; the server re-expands them transparently."""
+        self.compress_queries = compress_queries
         self.params = params
         self.ctx = PirContext(params)
         self.db = PirDatabase(params)  # index math only, no data
@@ -51,11 +60,20 @@ class PirClient:
 
     # ------------------------------------------------------------------
     def create_request(self, indexes: Sequence[int]) -> pb.Request:
+        if self.compress_queries:
+            req = pb.Request()
+            for i in indexes:
+                c0s, seeds = self._create_query_seeded(i)
+                wire.save_seeded_ciphertexts(c0s, seeds, req.query.add())
+            req.galois_keys = self._galois_bytes
+            req.relin_keys = self._relin_bytes
+            return req
         queries = [self._create_query(i) for i in indexes]
         return wire.save_request(queries, self._galois_bytes, self._relin_bytes)
 
-    def _create_query(self, desired_index: int) -> np.ndarray:
-        """One query: u64[num_cts, 2, L, N].  Port of client.cpp:92-144."""
+    def _query_plaintexts(self, desired_index: int) -> list[np.ndarray]:
+        """One-hot query plaintexts, hot slots scaled by m⁻¹ mod t — the
+        packing of client.cpp:92-144 — one per ⌈dim_sum/N⌉ ciphertext."""
         p = self.params
         if desired_index >= p.num_items:
             raise ValueError(f"invalid index {desired_index}")
@@ -67,7 +85,7 @@ class PirClient:
 
         num_cts = dim_sum // n + 1
         offset = 0
-        cts = []
+        pts = []
         for c in range(num_cts):
             pt = np.zeros(n, dtype=np.uint64)
             while indices:
@@ -85,11 +103,32 @@ class PirClient:
                 if offset >= n:
                     offset -= n
                     break
-            with self.ctx.on_host():
+            pts.append(pt)
+        return pts
+
+    def _create_query(self, desired_index: int) -> np.ndarray:
+        """One query: u64[num_cts, 2, L, N].  Port of client.cpp:92-144."""
+        cts = []
+        with self.ctx.on_host():
+            for pt in self._query_plaintexts(desired_index):
                 cts.append(
                     np.asarray(enc_mod.encrypt(self.ctx, self.pk, pt, self._rng))
                 )
         return np.stack(cts)
+
+    def _create_query_seeded(
+        self, desired_index: int
+    ) -> tuple[np.ndarray, list[bytes]]:
+        """Seeded-symmetric query: (c0 stack u64[num_cts, L, N], seeds)."""
+        c0s, seeds = [], []
+        with self.ctx.on_host():
+            for pt in self._query_plaintexts(desired_index):
+                c0, seed = enc_mod.encrypt_symmetric_seeded(
+                    self.ctx, self.sk, pt, self._rng
+                )
+                c0s.append(c0)
+                seeds.append(seed)
+        return np.stack(c0s), seeds
 
     # ------------------------------------------------------------------
     def process_response(

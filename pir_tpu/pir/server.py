@@ -143,7 +143,7 @@ class PirServer:
             )
         response = pb.Response()
         for query in request.query:
-            cts = jnp.asarray(wire.load_ciphertexts(query))
+            cts = jnp.asarray(wire.load_ciphertexts(query, self.ctx))
             reply = self._pipeline(cts.shape[0])(
                 cts, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
             )
@@ -187,7 +187,7 @@ class PirServer:
         true for same-params clients).  Decomposition mode only.
         """
         gk_arrays, rk = self._device_keys(request)
-        stacks = [wire.load_ciphertexts(q) for q in request.query]
+        stacks = [wire.load_ciphertexts(q, self.ctx) for q in request.query]
         if len({s.shape for s in stacks}) != 1:
             return self.process_request(request)
         import numpy as np

@@ -50,6 +50,8 @@ def unpack_array(b: bytes) -> np.ndarray:
 # ciphertexts
 # ---------------------------------------------------------------------------
 
+_SEEDED_MAGIC = b"PTS1"
+
 
 def save_ciphertexts(cts, msg: pb.Ciphertexts | None = None) -> pb.Ciphertexts:
     """cts: iterable of u64[size, L, N] arrays (or one stacked [k, size, L, N])."""
@@ -62,9 +64,48 @@ def save_ciphertexts(cts, msg: pb.Ciphertexts | None = None) -> pb.Ciphertexts:
     return out
 
 
-def load_ciphertexts(msg: pb.Ciphertexts) -> np.ndarray:
-    """-> u64[k, size, L, N] (all ciphertexts in one proto share a shape)."""
-    cts = [unpack_array(b) for b in msg.ct]
+def save_seeded_ciphertexts(
+    c0s, seeds, msg: pb.Ciphertexts | None = None
+) -> pb.Ciphertexts:
+    """Seeded fresh ciphertexts: each entry carries c0 plus the 16-byte
+    PRG seed that regenerates the second polynomial — half the wire bytes
+    of a full ciphertext (bfv/encrypt.encrypt_symmetric_seeded).
+
+    c0s: u64[k, L, N]; seeds: k byte strings.
+    """
+    out = msg if msg is not None else pb.Ciphertexts()
+    arr = np.asarray(c0s)
+    if arr.ndim == 2:
+        arr = arr[None]
+    if arr.shape[0] != len(seeds):
+        raise ValueError("one seed per seeded ciphertext required")
+    for i, seed in enumerate(seeds):
+        if len(seed) != 16:
+            raise ValueError("seeded ciphertexts use 16-byte seeds")
+        out.ct.append(_SEEDED_MAGIC + bytes(seed) + pack_array(arr[i]))
+    return out
+
+
+def load_ciphertexts(msg: pb.Ciphertexts, ctx=None) -> np.ndarray:
+    """-> u64[k, size, L, N] (all ciphertexts in one proto share a shape).
+
+    Seeded (PTS1) entries are re-expanded to full ciphertexts; that needs
+    the parameter context, so callers that may receive seeded queries
+    (the server) pass `ctx`.
+    """
+    cts = []
+    for b in msg.ct:
+        if b[:4] == _SEEDED_MAGIC:
+            if ctx is None:
+                raise ValueError(
+                    "seeded ciphertext requires a context to re-expand"
+                )
+            from pir_tpu.bfv.encrypt import expand_a_from_seed
+
+            seed, c0 = b[4:20], unpack_array(b[20:])
+            cts.append(np.stack([c0, expand_a_from_seed(ctx, seed)]))
+        else:
+            cts.append(unpack_array(b))
     return np.stack(cts)
 
 
