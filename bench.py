@@ -55,8 +55,13 @@ def build_stack(db_size):
     ]
     raw = [raw[i % len(raw)] for i in range(db_size)]
     db = PirDatabase.create(raw, params)
-    client = PirClient.create(params, seed=7)
-    server = PirServer.create(db, params)
+    # Transfer optimizations: seeded queries halve the upload and packed
+    # (u32 lo, u8 hi) transfer cuts 37.5% off both directions.  Reply
+    # mod-switch (PirServer(reply_limbs=1)) is NOT safe at this config:
+    # at 1M items (dims 162x162, t=24 bits) the post-scan noise budget
+    # does not survive dropping to one 36-bit limb (measured budget 0).
+    client = PirClient(params, seed=7, compress_queries=True)
+    server = PirServer(db, params)
     return params, raw, db, client, server
 
 

@@ -1,8 +1,11 @@
 """Best-effort SEAL 3.5 binary stream compatibility layer.
 
-The reference serializes `EncryptionParameters` with SEAL's stream format
-into the `PIRParameters.encryption_parameters` proto field
-(pir/cpp/parameters.cpp:99-100); full interop therefore needs this codec.
+The reference serializes everything that crosses the wire with SEAL's
+stream format: `EncryptionParameters` into the proto params field
+(pir/cpp/parameters.cpp:99-100), and ciphertexts / Galois keys / relin
+keys via the templated `SEALSerialize`/`SEALDeserialize`
+(pir/cpp/serialization.h:81-138).  Full proto-level interop therefore
+needs this codec for all four object kinds.
 
 Layout implemented (SEAL 3.5.x, compression mode "none"):
 
@@ -20,19 +23,36 @@ Layout implemented (SEAL 3.5.x, compression mode "none"):
       u64  coeff_modulus_count
       u64  coeff_modulus values ×count
       u64  plain_modulus value
+  Ciphertext payload (save_members, seal/ciphertext.cpp):
+      parms_id (4 × u64 — blake2xb of the params, see parms_id_for)
+      u8   is_ntt_form
+      u64  size  (number of polynomials)
+      u64  poly_modulus_degree
+      u64  coeff_mod_count
+      u64  data word count, then raw u64 coefficient words
+           [poly][limb][coeff] — same memory layout the re-encoder reads
+           at pir/cpp/ct_reencoder.cpp:61
+  KSwitchKeys payload (GaloisKeys/RelinKeys, seal/kswitchkeys.cpp):
+      parms_id (4 × u64)
+      u64  number of key rows
+      per row: u64 count, then `count` nested full PublicKey streams
+      (each a SEALHeader + Ciphertext payload)
 
 **Validation caveat**: this container has zero egress and the reference
 (and SEAL) cannot be built here, so this codec is checked for
 self-consistency and structure, not against live SEAL streams.  The
 protocol does not depend on it: `pir_tpu.pir.wire` uses the native PTP1
-codec by default, and `deserialize_encryption_params_any` accepts either
-format, so a SEAL-generated PIRParameters proto parses if this layout is
-right, while everything else keeps working if it is not.
+codec by default, and the `*_any` loaders accept either format, so
+SEAL-generated protos parse if this layout is right, while everything
+else keeps working if it is not.
 """
 
 from __future__ import annotations
 
+import hashlib
 import struct
+
+import numpy as np
 
 from pir_tpu.core.params import EncryptionParams
 
@@ -107,3 +127,280 @@ def _load_encryption_params(b: bytes) -> EncryptionParams:
 
 def looks_like_seal_stream(b: bytes) -> bool:
     return len(b) >= 2 and struct.unpack_from("<H", b, 0)[0] == SEAL_MAGIC
+
+
+# ---------------------------------------------------------------------------
+# parms_id: blake2xb over the packed parameter words (seal/util/hash.h)
+# ---------------------------------------------------------------------------
+
+
+_B2_IV = (
+    0x6A09E667F3BCC908, 0xBB67AE8584CAA73B, 0x3C6EF372FE94F82B,
+    0xA54FF53A5F1D36F1, 0x510E527FADE682D1, 0x9B05688C2B3E6C1F,
+    0x1F83D9ABFB41BD6B, 0x5BE0CD19137E2179,
+)
+_B2_SIGMA = (
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+    (11, 8, 12, 0, 5, 2, 15, 13, 10, 14, 3, 6, 7, 1, 9, 4),
+    (7, 9, 3, 1, 13, 12, 11, 14, 2, 6, 5, 10, 4, 0, 15, 8),
+    (9, 0, 5, 7, 2, 4, 10, 15, 14, 1, 11, 12, 6, 8, 3, 13),
+    (2, 12, 6, 10, 0, 11, 8, 3, 4, 13, 7, 5, 15, 14, 1, 9),
+    (12, 5, 1, 15, 14, 13, 4, 10, 0, 7, 6, 3, 9, 2, 8, 11),
+    (13, 11, 7, 14, 12, 1, 3, 9, 5, 0, 15, 4, 8, 6, 2, 10),
+    (6, 15, 14, 9, 11, 3, 0, 8, 12, 2, 13, 7, 1, 4, 10, 5),
+    (10, 2, 8, 4, 7, 6, 1, 5, 15, 11, 9, 14, 3, 12, 13, 0),
+    (0, 1, 2, 3, 4, 5, 6, 7, 8, 9, 10, 11, 12, 13, 14, 15),
+    (14, 10, 4, 8, 9, 15, 13, 6, 1, 12, 0, 2, 11, 7, 5, 3),
+)
+_M64 = (1 << 64) - 1
+
+
+def _b2_compress(h, block, t, last):
+    m = struct.unpack("<16Q", block)
+    v = list(h) + list(_B2_IV)
+    v[12] ^= t & _M64
+    v[13] ^= (t >> 64) & _M64
+    if last:
+        v[14] ^= _M64
+
+    def g(a, b, c, d, x, y):
+        v[a] = (v[a] + v[b] + x) & _M64
+        v[d] = ((v[d] ^ v[a]) >> 32 | (v[d] ^ v[a]) << 32) & _M64
+        v[c] = (v[c] + v[d]) & _M64
+        v[b] = ((v[b] ^ v[c]) >> 24 | (v[b] ^ v[c]) << 40) & _M64
+        v[a] = (v[a] + v[b] + y) & _M64
+        v[d] = ((v[d] ^ v[a]) >> 16 | (v[d] ^ v[a]) << 48) & _M64
+        v[c] = (v[c] + v[d]) & _M64
+        v[b] = ((v[b] ^ v[c]) >> 63 | (v[b] ^ v[c]) << 1) & _M64
+
+    for r in range(12):
+        s = _B2_SIGMA[r]
+        g(0, 4, 8, 12, m[s[0]], m[s[1]])
+        g(1, 5, 9, 13, m[s[2]], m[s[3]])
+        g(2, 6, 10, 14, m[s[4]], m[s[5]])
+        g(3, 7, 11, 15, m[s[6]], m[s[7]])
+        g(0, 5, 10, 15, m[s[8]], m[s[9]])
+        g(1, 6, 11, 12, m[s[10]], m[s[11]])
+        g(2, 7, 8, 13, m[s[12]], m[s[13]])
+        g(3, 4, 9, 14, m[s[14]], m[s[15]])
+    return [h[i] ^ v[i] ^ v[i + 8] for i in range(8)]
+
+
+def _blake2b_raw(data: bytes, param_block: bytes) -> bytes:
+    """BLAKE2b with an explicit 64-byte parameter block (hashlib cannot
+    express the BLAKE2X blocks: it rejects depth=0).  Full 64-byte state
+    returned; caller truncates to the block's digest_length."""
+    h = [
+        _B2_IV[i] ^ w
+        for i, w in enumerate(struct.unpack("<8Q", param_block))
+    ]
+    data = bytes(data)
+    if len(data) == 0:
+        h = _b2_compress(h, b"\x00" * 128, 0, True)
+    else:
+        off = 0
+        while len(data) - off > 128:
+            h = _b2_compress(h, data[off : off + 128], off + 128, False)
+            off += 128
+        tail = data[off:]
+        h = _b2_compress(
+            h, tail + b"\x00" * (128 - len(tail)), len(data), True
+        )
+    return struct.pack("<8Q", *h)
+
+
+def _b2x_params(
+    digest_length: int,
+    fanout: int,
+    depth: int,
+    leaf_length: int,
+    node_offset: int,
+    xof_length: int,
+    node_depth: int,
+    inner_length: int,
+) -> bytes:
+    return struct.pack(
+        "<BBBBIIIBB14x16x16x",
+        digest_length, 0, fanout, depth, leaf_length,
+        node_offset, xof_length, node_depth, inner_length,
+    )
+
+
+def blake2xb(data: bytes, out_len: int) -> bytes:
+    """BLAKE2Xb XOF per the BLAKE2X spec — SEAL's HashFunction
+    (seal/util/hash.h wraps the vendored reference blake2xb).
+
+    Root hash H0: digest_length 64, fanout 1, depth 1, xof_length field =
+    out_len.  Output block i: digest_length min(64, remaining), fanout 0,
+    depth 0, leaf_length 64, node_offset i, inner_length 64.
+    """
+    if not 0 < out_len < (1 << 32):
+        raise ValueError("blake2xb output length out of range")
+    h0 = _blake2b_raw(data, _b2x_params(64, 1, 1, 0, 0, out_len, 0, 0))
+    out = b""
+    i = 0
+    while len(out) < out_len:
+        take = min(64, out_len - len(out))
+        out += _blake2b_raw(
+            h0, _b2x_params(take, 0, 0, 64, i, out_len, 0, 64)
+        )[:take]
+        i += 1
+    return out
+
+
+def parms_id_for(ep: EncryptionParams) -> tuple[int, int, int, int]:
+    """SEAL parms_id: blake2xb-256 of the packed u64 parameter words
+    (scheme, degree, coeff moduli, plain modulus) —
+    EncryptionParameters::compute_parms_id semantics."""
+    words = [SCHEME_BFV, ep.poly_modulus_degree]
+    words += [int(m) for m in ep.coeff_modulus]
+    words += [ep.plain_modulus]
+    digest = blake2xb(struct.pack(f"<{len(words)}Q", *words), 32)
+    return struct.unpack("<4Q", digest)
+
+
+# ---------------------------------------------------------------------------
+# Ciphertext streams
+# ---------------------------------------------------------------------------
+
+
+def _wrap(payload: bytes) -> bytes:
+    header = struct.pack(
+        "<HBBBBHQ", SEAL_MAGIC, 0x10, 3, 5, COMPR_NONE, 0, 16 + len(payload)
+    )
+    return header + payload
+
+
+def _ct_payload(ct: np.ndarray, ep: EncryptionParams, is_ntt: bool) -> bytes:
+    ct = np.ascontiguousarray(ct, dtype=np.uint64)
+    if ct.ndim != 3:
+        raise ValueError("ciphertext must be [size, L, N]")
+    size, L, n = ct.shape
+    payload = struct.pack("<4Q", *parms_id_for(ep))
+    payload += struct.pack("<B", 1 if is_ntt else 0)
+    payload += struct.pack("<QQQ", size, n, L)
+    payload += struct.pack("<Q", size * L * n)
+    payload += ct.astype("<u8").tobytes()
+    return payload
+
+
+def save_ciphertext(
+    ct: np.ndarray, ep: EncryptionParams, is_ntt_form: bool = False
+) -> bytes:
+    """u64[size, L, N] -> SEAL 3.5 Ciphertext stream."""
+    return _wrap(_ct_payload(ct, ep, is_ntt_form))
+
+
+def load_ciphertext(b: bytes, ep: EncryptionParams) -> np.ndarray:
+    """SEAL 3.5 Ciphertext stream -> u64[size, L, N] (coeff form expected)."""
+    hdr = parse_header(b)
+    if hdr["size"] != len(b):
+        b = b[: hdr["size"]]
+    off = 16
+    pid = struct.unpack_from("<4Q", b, off)
+    off += 32
+    if tuple(pid) != tuple(parms_id_for(ep)):
+        raise ValueError("ciphertext parms_id does not match the parameters")
+    (is_ntt,) = struct.unpack_from("<B", b, off)
+    off += 1
+    size, n, L = struct.unpack_from("<QQQ", b, off)
+    off += 24
+    (words,) = struct.unpack_from("<Q", b, off)
+    off += 8
+    if words != size * L * n:
+        raise ValueError("ciphertext data length mismatch")
+    data = np.frombuffer(b, dtype="<u8", offset=off, count=words)
+    ct = data.reshape(int(size), int(L), int(n)).copy()
+    if is_ntt:
+        raise ValueError(
+            "NTT-form SEAL ciphertexts are not accepted on the wire "
+            "(the protocol exchanges coefficient-form ciphertexts only)"
+        )
+    return ct
+
+
+# ---------------------------------------------------------------------------
+# KSwitchKeys streams (GaloisKeys / RelinKeys)
+# ---------------------------------------------------------------------------
+
+
+def save_kswitch_keys(
+    rows: "list[list[np.ndarray]]", ep: EncryptionParams
+) -> bytes:
+    """rows[i] = list of [2, Lp, N] key ciphertexts (NTT form) for row i.
+
+    GaloisKeys rows are indexed by (galois_elt - 1) / 2 — empty rows are
+    allowed; RelinKeys have a single row for s².
+    """
+    payload = struct.pack("<4Q", *parms_id_for(ep))
+    payload += struct.pack("<Q", len(rows))
+    for row in rows:
+        payload += struct.pack("<Q", len(row))
+        for ct in row:
+            payload += _wrap(_ct_payload(np.asarray(ct), ep, is_ntt=True))
+    return _wrap(payload)
+
+
+def load_kswitch_keys(
+    b: bytes, ep: EncryptionParams
+) -> "list[list[np.ndarray]]":
+    """SEAL 3.5 KSwitchKeys stream -> rows of [2, Lp, N] NTT-form arrays."""
+    hdr = parse_header(b)
+    off = 16
+    pid = struct.unpack_from("<4Q", b, off)
+    off += 32
+    if tuple(pid) != tuple(parms_id_for(ep)):
+        raise ValueError("kswitch keys parms_id does not match the parameters")
+    (nrows,) = struct.unpack_from("<Q", b, off)
+    off += 8
+    rows = []
+    for _ in range(nrows):
+        (count,) = struct.unpack_from("<Q", b, off)
+        off += 8
+        row = []
+        for _ in range(count):
+            sub_hdr = parse_header(b[off:])
+            sub = b[off : off + sub_hdr["size"]]
+            soff = 16 + 32  # header + parms_id (trusted: same stream)
+            (is_ntt,) = struct.unpack_from("<B", sub, soff)
+            soff += 1
+            size, n, L = struct.unpack_from("<QQQ", sub, soff)
+            soff += 24
+            (words,) = struct.unpack_from("<Q", sub, soff)
+            soff += 8
+            data = np.frombuffer(sub, dtype="<u8", offset=soff, count=words)
+            row.append(data.reshape(int(size), int(L), int(n)).copy())
+            off += sub_hdr["size"]
+        rows.append(row)
+    return rows
+
+
+def galois_rows_from_dict(keys: dict, n: int) -> "list[list[np.ndarray]]":
+    """{galois_elt: KSwitchKey} -> SEAL GaloisKeys row layout.
+
+    SEAL stores the key for element g at row (g - 1) / 2 (galoiskeys.h
+    get_index); rows up to the largest element present are emitted, the
+    rest empty.
+    """
+    if not keys:
+        return []
+    rows = [[] for _ in range(n)]
+    for elt, key in keys.items():
+        if elt % 2 == 0 or not (1 <= (elt - 1) // 2 < n):
+            raise ValueError(f"invalid galois element {elt}")
+        data = np.asarray(key.data if hasattr(key, "data") else key)
+        # our KSwitchKey packs component ciphertexts [L, 2, Lp, N]
+        rows[(elt - 1) // 2] = [data[i] for i in range(data.shape[0])]
+    while rows and not rows[-1]:
+        rows.pop()
+    return rows
+
+
+def galois_dict_from_rows(rows: "list[list[np.ndarray]]") -> dict:
+    """Inverse of galois_rows_from_dict: row i -> element 2i + 1."""
+    out = {}
+    for i, row in enumerate(rows):
+        if row:
+            out[2 * i + 1] = np.stack(row)
+    return out

@@ -21,7 +21,7 @@ import jax
 import jax.numpy as jnp
 
 from pir_tpu.core.params import PirParams
-from pir_tpu.ops import expand, scan
+from pir_tpu.ops import expand, packing, scan
 from pir_tpu.pir import wire
 from pir_tpu.pir.database import PirDatabase
 from pir_tpu.proto import payload_pb2 as pb
@@ -34,12 +34,17 @@ class PirServer:
         db: PirDatabase,
         params: PirParams,
         reply_limbs: Optional[int] = None,
+        packed_transfer: bool = True,
     ):
         """reply_limbs: if set, mod-switch reply ciphertexts down to this
         many RNS limbs before serialization (ops/modswitch.py) — shrinks
         reply bytes by L/reply_limbs.  Transparent to the client (the limb
         count travels in the array shape).  Caller must leave enough noise
-        budget: the margin drops by the bits of every dropped prime."""
+        budget: the margin drops by the bits of every dropped prime.
+
+        packed_transfer: move query/reply arrays across the host<->device
+        link as (u32 lo, u8/u16 hi) pairs instead of u64 (ops/packing.py)
+        — bit-identical values, 25-37.5% fewer transfer bytes."""
         if params.num_pt != db.size:
             raise ValueError("database size mismatch")
         if reply_limbs is not None and not (
@@ -50,6 +55,9 @@ class PirServer:
         self.db = db
         self.ctx = db.ctx
         self.reply_limbs = reply_limbs
+        self._hi_dtype = (
+            packing.hi_dtype_for(self.ctx.ct_moduli) if packed_transfer else None
+        )
         self._expansion_elts = tuple(generate_galois_elts(self.ctx.n))
         # Device-resident evaluation keys, cached by request-bytes digest:
         # clients resend identical key blobs with every request (wire parity
@@ -107,6 +115,36 @@ class PirServer:
 
         return jax.jit(run)
 
+    @functools.lru_cache(maxsize=8)
+    def _pipeline_packed(self, num_query_cts: int):
+        """The same pipeline with packed-transfer endpoints: queries arrive
+        as (u32 lo, u8/u16 hi) pairs, replies leave the same way."""
+        single = self._pipeline(num_query_cts)
+        dt = self._hi_dtype
+
+        def run(q_lo, q_hi, galois_key_arrays, relin_key, db_ntt, db_shoup):
+            q = packing.join_device(q_lo, q_hi)
+            reply = single(q, galois_key_arrays, relin_key, db_ntt, db_shoup)
+            return packing.split_device(reply, dt)
+
+        return jax.jit(run)
+
+    def _run_query(self, cts, gk_arrays, rk):
+        """One query stack (host u64[k, 2, L, N]) -> host u64 reply."""
+        import numpy as np
+
+        if self._hi_dtype is not None:
+            lo, hi = packing.split_host(np.asarray(cts), self._hi_dtype)
+            r_lo, r_hi = self._pipeline_packed(cts.shape[0])(
+                jnp.asarray(lo), jnp.asarray(hi), gk_arrays, rk,
+                self.db.db_ntt, self.db.db_ntt_shoup,
+            )
+            return packing.join_host(*jax.device_get((r_lo, r_hi)))
+        reply = self._pipeline(cts.shape[0])(
+            jnp.asarray(cts), gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
+        )
+        return jax.device_get(reply)
+
     # ------------------------------------------------------------------
     def _device_keys(self, request: pb.Request):
         digest = hashlib.blake2b(
@@ -115,7 +153,8 @@ class PirServer:
         cached = self._key_cache.get(digest)
         if cached is not None:
             return cached
-        galois = wire.deserialize_galois_keys(request.galois_keys)
+        ep = self.params.encryption_params
+        galois = wire.deserialize_galois_keys(request.galois_keys, ep)
         gk_arrays = {e: jnp.asarray(k.data) for e, k in galois.keys.items()}
         missing = [e for e in self._expansion_elts if e not in gk_arrays]
         if missing:
@@ -125,7 +164,7 @@ class PirServer:
         rk = None
         if request.relin_keys:
             rk = jnp.asarray(
-                wire.deserialize_relin_keys(request.relin_keys).key.data
+                wire.deserialize_relin_keys(request.relin_keys, ep).key.data
             )
         if len(self._key_cache) >= 8:
             self._key_cache.pop(next(iter(self._key_cache)))
@@ -143,11 +182,9 @@ class PirServer:
             )
         response = pb.Response()
         for query in request.query:
-            cts = jnp.asarray(wire.load_ciphertexts(query, self.ctx))
-            reply = self._pipeline(cts.shape[0])(
-                cts, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
-            )
-            wire.save_ciphertexts(jax.device_get(reply), response.reply.add())
+            cts = wire.load_ciphertexts(query, self.ctx)
+            reply = self._run_query(cts, gk_arrays, rk)
+            wire.save_ciphertexts(reply, response.reply.add())
         return response
 
     # ------------------------------------------------------------------
@@ -162,6 +199,18 @@ class PirServer:
             return jax.vmap(
                 lambda q: single(q, galois_key_arrays, relin_key, db_ntt, db_shoup)
             )(query_cts)
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=8)
+    def _pipeline_batched_packed(self, num_query_cts: int, batch: int):
+        batched = self._pipeline_batched(num_query_cts, batch)
+        dt = self._hi_dtype
+
+        def run(q_lo, q_hi, galois_key_arrays, relin_key, db_ntt, db_shoup):
+            q = packing.join_device(q_lo, q_hi)
+            replies = batched(q, galois_key_arrays, relin_key, db_ntt, db_shoup)
+            return packing.split_device(replies, dt)
 
         return jax.jit(run)
 
@@ -196,11 +245,23 @@ class PirServer:
         lanes = min(self._max_vmap_lanes(), all_queries.shape[0])
         response = pb.Response()
         for start in range(0, all_queries.shape[0], lanes):
-            chunk = jnp.asarray(all_queries[start : start + lanes])
-            replies = self._pipeline_batched(chunk.shape[1], chunk.shape[0])(
-                chunk, gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
-            )
-            replies = jax.device_get(replies)
+            chunk = all_queries[start : start + lanes]
+            if self._hi_dtype is not None:
+                lo, hi = packing.split_host(chunk, self._hi_dtype)
+                packed = self._pipeline_batched_packed(
+                    chunk.shape[1], chunk.shape[0]
+                )(
+                    jnp.asarray(lo), jnp.asarray(hi), gk_arrays, rk,
+                    self.db.db_ntt, self.db.db_ntt_shoup,
+                )
+                replies = packing.join_host(*jax.device_get(packed))
+            else:
+                replies = jax.device_get(
+                    self._pipeline_batched(chunk.shape[1], chunk.shape[0])(
+                        jnp.asarray(chunk), gk_arrays, rk,
+                        self.db.db_ntt, self.db.db_ntt_shoup,
+                    )
+                )
             for qi in range(replies.shape[0]):
                 wire.save_ciphertexts(replies[qi], response.reply.add())
         return response

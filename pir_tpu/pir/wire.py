@@ -93,6 +93,8 @@ def load_ciphertexts(msg: pb.Ciphertexts, ctx=None) -> np.ndarray:
     the parameter context, so callers that may receive seeded queries
     (the server) pass `ctx`.
     """
+    from pir_tpu.pir import seal_compat
+
     cts = []
     for b in msg.ct:
         if b[:4] == _SEEDED_MAGIC:
@@ -104,6 +106,12 @@ def load_ciphertexts(msg: pb.Ciphertexts, ctx=None) -> np.ndarray:
 
             seed, c0 = b[4:20], unpack_array(b[20:])
             cts.append(np.stack([c0, expand_a_from_seed(ctx, seed)]))
+        elif seal_compat.looks_like_seal_stream(b):
+            if ctx is None:
+                raise ValueError(
+                    "SEAL-stream ciphertext requires a context to validate"
+                )
+            cts.append(seal_compat.load_ciphertext(b, ctx.enc))
         else:
             cts.append(unpack_array(b))
     return np.stack(cts)
@@ -123,9 +131,22 @@ def serialize_galois_keys(gk: GaloisKeys) -> bytes:
     return blob
 
 
-def deserialize_galois_keys(b: bytes) -> GaloisKeys:
+def deserialize_galois_keys(b: bytes, ep=None) -> GaloisKeys:
     if len(b) < 4:
         raise ValueError("request carries no galois keys")
+    from pir_tpu.pir import seal_compat
+
+    if seal_compat.looks_like_seal_stream(b):
+        if ep is None:
+            raise ValueError(
+                "SEAL-stream galois keys require encryption parameters"
+            )
+        rows = seal_compat.galois_dict_from_rows(
+            seal_compat.load_kswitch_keys(b, ep)
+        )
+        return GaloisKeys(
+            keys={e: KSwitchKey(data=v) for e, v in rows.items()}
+        )
     (count,) = struct.unpack_from("<I", b, 0)
     off = 4
     keys = {}
@@ -141,7 +162,18 @@ def serialize_relin_keys(rk: RelinKeys) -> bytes:
     return pack_array(np.asarray(rk.key.data))
 
 
-def deserialize_relin_keys(b: bytes) -> RelinKeys:
+def deserialize_relin_keys(b: bytes, ep=None) -> RelinKeys:
+    from pir_tpu.pir import seal_compat
+
+    if seal_compat.looks_like_seal_stream(b):
+        if ep is None:
+            raise ValueError(
+                "SEAL-stream relin keys require encryption parameters"
+            )
+        rows = seal_compat.load_kswitch_keys(b, ep)
+        if len(rows) != 1 or not rows[0]:
+            raise ValueError("relin keys stream must carry exactly one row")
+        return RelinKeys(key=KSwitchKey(data=np.stack(rows[0])))
     return RelinKeys(key=KSwitchKey(data=unpack_array(b)))
 
 
