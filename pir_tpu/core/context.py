@@ -26,6 +26,16 @@ from pir_tpu.ops.ntt import NttTables
 
 
 class PirContext:
+    # Set on per-shard views (parallel/sharded.py) when the RNS limb axis is
+    # sharded over a mesh axis; the base context is always limb-dense.
+    limb_axis_name: "str | None" = None
+
+    def take_ct_limbs(self, x):
+        """Select the ciphertext-level limbs this context owns from a
+        full-key-basis array ``[..., Lp, N]``.  Limb-sharded views override
+        this with the device's own slice."""
+        return x[..., : self.L, :]
+
     def __init__(self, params: PirParams):
         self.params = params
         self.enc: EncryptionParams = params.encryption_params

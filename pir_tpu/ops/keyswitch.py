@@ -16,10 +16,19 @@ Pipeline for input polynomial c (coefficient form, ciphertext level q):
 
 The whole pipeline is batched over arbitrary leading axes — oblivious
 expansion feeds it 2^j ciphertexts at level j in one call.
+
+Limb sharding (parallel/sharded.py): when ``ctx`` is a per-shard view with
+``limb_axis_name`` set, the input carries only this device's RNS limbs and
+the key carries only the matching decomposition rows; the digit inner
+product's sum then becomes a local partial plus one ``psum`` over the limb
+mesh axis (the only cross-limb exchange in the whole protocol), and the
+full-basis tail (INTT over QP + P scale-down) runs replicated before each
+device keeps its own limb slice via ``ctx.take_ct_limbs``.
 """
 
 from __future__ import annotations
 
+import jax
 import jax.numpy as jnp
 
 from pir_tpu.core.context import PirContext
@@ -53,9 +62,13 @@ def switch_key(ctx: PirContext, ksk, c: jnp.ndarray):
         qp.ratio_lo,
     )
     # Reduced summands (< q_j < 2^61); L terms fit u64 without wrap.
-    acc = modular.barrett_reduce_64(
-        jnp.sum(prod, axis=-4), qp.q, qp.ratio_hi
-    )  # [..., 2, Lp, N]
+    tot = jnp.sum(prod, axis=-4)
+    limb_axis = getattr(ctx, "limb_axis_name", None)
+    if limb_axis is not None:
+        # limb-sharded: local digits only — complete the digit sum across
+        # the limb mesh axis (u64-exact: reduced summands, L·q < 2^64)
+        tot = jax.lax.psum(tot, limb_axis)
+    acc = modular.barrett_reduce_64(tot, qp.q, qp.ratio_hi)  # [..., 2, Lp, N]
 
     # 4. INTT and scale down by P with centered rounding.
     acc = ctx.ntt_qp.inverse(acc)
@@ -67,7 +80,7 @@ def switch_key(ctx: PirContext, ksk, c: jnp.ndarray):
     u_mod_q = modular.barrett_reduce_64(u, lq.q, lq.ratio_hi)  # [..., 2, L, N]
     t_bar = modular.sub_mod(u_mod_q, ctx.p_half_mod_q, lq.q)
     out = modular.mul_mod_shoup(
-        modular.sub_mod(acc[..., : ctx.L, :], t_bar, lq.q),
+        modular.sub_mod(ctx.take_ct_limbs(acc), t_bar, lq.q),
         ctx.p_inv_mod_q,
         ctx.p_inv_mod_q_shoup,
         lq.q,

@@ -125,7 +125,14 @@ def database_scan_decomp(
         if result.ndim == 4:
             result = result[:, None]  # add the C axis
         C = result.shape[1]
-        pts = decompose.decompose_ct(ctx, result)  # [prefix*dim, C, 2*ER, N]
+        # limb-sharded views swap in an all-gathering decomposition
+        # (parallel/sharded.py) — digits live per-limb, but every digit
+        # plaintext must reach every limb for the next contraction
+        decomp_fn = getattr(ctx, "decompose_fn", None)
+        if decomp_fn is not None:
+            pts = decomp_fn(result)  # [prefix*dim, C, 2*ER, N]
+        else:
+            pts = decompose.decompose_ct(ctx, result)
         pts_ntt = ctx.ntt_q.forward(
             jnp.broadcast_to(
                 pts[..., None, :],

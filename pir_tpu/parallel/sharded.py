@@ -13,10 +13,22 @@ a new design obligation driven by BASELINE.json.  Layout:
   serial per-query loop, server.cpp:60-63, becomes a sharded batch axis).
   Query expansion runs per batch shard, replicated across the "db" axis —
   it is ~D0× cheaper than the scan it feeds.
+* mesh axis ``"limb"`` — partitions the RNS limb axis (the tensor-parallel
+  analog; SURVEY §2c "RNS-limb parallelism").  Every limb-local op (NTT,
+  ct×pt contraction, monomial shifts, Galois permutations) runs on the
+  device's own limbs with its own twiddle/Barrett tables, shipped in as
+  limb-sharded arguments.  Exactly two collectives cross the limb axis:
+  (1) the key-switch digit inner product — each device contracts its own
+  decomposition digits against its own key rows, then one ``psum``
+  completes the sum over all limbs (ops/keyswitch.py); (2) the ciphertext
+  digit decomposition between hypercube levels — digits are extracted
+  per-limb, then one ``all_gather`` hands every digit plaintext to every
+  limb for the next contraction.
 
 D0 and the query batch are zero-padded to multiples of the mesh axes;
 zero ciphertexts/rows are exact no-ops in every homomorphic identity, so
-padded results equal the unpadded scan bit-for-bit.
+padded results equal the unpadded scan bit-for-bit.  The limb axis is
+never padded — it must divide L exactly.
 """
 
 from __future__ import annotations
@@ -27,7 +39,9 @@ import jax.numpy as jnp
 from jax.sharding import Mesh, PartitionSpec as P
 
 from pir_tpu.core.context import PirContext
-from pir_tpu.ops import expand, modular, scan
+from pir_tpu.ops import decompose, expand, modular, scan
+from pir_tpu.ops.modular import LimbConstants
+from pir_tpu.ops.ntt import NttTables
 
 
 def pad_axis(arr: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
@@ -40,13 +54,129 @@ def pad_axis(arr: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
     return jnp.pad(arr, pad)
 
 
-def default_mesh(devices=None, batch: int = 1) -> Mesh:
-    """Mesh over all devices: ("db", "batch") with the given batch width."""
+def default_mesh(devices=None, batch: int = 1, limb: int = 1) -> Mesh:
+    """Mesh over all devices: ("db", "batch"[, "limb"]) with the given widths.
+
+    The "limb" axis is only materialized when limb > 1 (keeps the common
+    db×batch layout unchanged).
+    """
     devices = np.asarray(devices if devices is not None else jax.devices())
     n = devices.size
-    if n % batch != 0:
-        raise ValueError(f"device count {n} not divisible by batch axis {batch}")
+    if n % (batch * limb) != 0:
+        raise ValueError(
+            f"device count {n} not divisible by batch*limb = {batch * limb}"
+        )
+    if limb > 1:
+        return Mesh(
+            devices.reshape(n // (batch * limb), batch, limb),
+            axis_names=("db", "batch", "limb"),
+        )
     return Mesh(devices.reshape(n // batch, batch), axis_names=("db", "batch"))
+
+
+# ----------------------------------------------------------------------
+# Limb sharding: per-shard table plumbing
+# ----------------------------------------------------------------------
+
+
+def _limb_tables(ctx: PirContext) -> dict:
+    """All per-ct-limb constant arrays, keyed for sharding on axis 0."""
+    nt = ctx.ntt_q
+    tabs = {
+        "psi_rev": nt.psi_rev,
+        "psi_rev_shoup": nt.psi_rev_shoup,
+        "psi_inv_rev": nt.psi_inv_rev,
+        "psi_inv_rev_shoup": nt.psi_inv_rev_shoup,
+        "n_inv": nt.n_inv,
+        "n_inv_shoup": nt.n_inv_shoup,
+        "q": nt.limbs.q,
+        "ratio_hi": nt.limbs.ratio_hi,
+        "ratio_lo": nt.limbs.ratio_lo,
+    }
+    if ctx.special is not None:
+        tabs["p_half_mod_q"] = ctx.p_half_mod_q
+        tabs["p_inv_mod_q"] = ctx.p_inv_mod_q
+        tabs["p_inv_mod_q_shoup"] = ctx.p_inv_mod_q_shoup
+    return tabs
+
+
+class _LimbShardView:
+    """A PirContext stand-in seen by one limb shard inside shard_map.
+
+    Limb-axis tables are this device's traced slices; everything
+    limb-independent (Galois/shift permutations, the full-key-basis QP
+    tables used replicated inside key switching) delegates to the real
+    context.  ``limb_axis_name`` being set switches ops/keyswitch.py into
+    its psum form, and ``decompose_fn`` switches ops/scan.py to the
+    all-gathering digit decomposition.
+    """
+
+    def __init__(self, ctx: PirContext, tabs: dict, axis_name: str):
+        self._ctx = ctx
+        self.limb_axis_name = axis_name
+        l_local = tabs["q"].shape[0]
+        self.L = l_local
+        self._offset = jax.lax.axis_index(axis_name) * l_local
+
+        nt = object.__new__(NttTables)
+        nt.n = ctx.n
+        nt.moduli = (None,) * l_local  # only len() is consumed under trace
+        lim = object.__new__(LimbConstants)
+        lim.moduli = nt.moduli
+        lim.q = tabs["q"]
+        lim.ratio_hi = tabs["ratio_hi"]
+        lim.ratio_lo = tabs["ratio_lo"]
+        nt.limbs = lim
+        nt.psi_rev = tabs["psi_rev"]
+        nt.psi_rev_shoup = tabs["psi_rev_shoup"]
+        nt.psi_inv_rev = tabs["psi_inv_rev"]
+        nt.psi_inv_rev_shoup = tabs["psi_inv_rev_shoup"]
+        nt.n_inv = tabs["n_inv"]
+        nt.n_inv_shoup = tabs["n_inv_shoup"]
+        self.ntt_q = nt
+        self.limbs_q = lim
+        if ctx.special is not None:
+            self.p_half_mod_q = tabs["p_half_mod_q"]
+            self.p_inv_mod_q = tabs["p_inv_mod_q"]
+            self.p_inv_mod_q_shoup = tabs["p_inv_mod_q_shoup"]
+
+        # digit decomposition with the cross-limb all_gather (see module doc)
+        bits = decompose.pt_bits_per_coeff(ctx)
+        ratios = decompose.local_expansion_ratios(ctx)
+        max_r = max(ratios)
+        mask = jnp.uint64((1 << bits) - 1)
+        # valid (limb, digit) slots of the uniform max_r grid, in the
+        # reference's (limb, digit) order (ct_reencoder.cpp:49-67)
+        sel_idx = np.array(
+            [li * max_r + d for li in range(ctx.L) for d in range(ratios[li])],
+            dtype=np.int32,
+        )
+        er = len(sel_idx)
+
+        def decompose_fn(ct):
+            # ct: u64[..., size, L_local, N] local coeff-form limbs.
+            # Digits above a limb's own ratio are exact zeros (word < q_i
+            # < 2^(r_i*bits)), so a uniform max_r grid is safe and keeps
+            # one traced shape across devices with unequal ratios.
+            digits = jnp.stack(
+                [(ct >> jnp.uint64(d * bits)) & mask for d in range(max_r)],
+                axis=-2,
+            )  # [..., size, L_local, max_r, N]
+            full = jax.lax.all_gather(
+                digits, axis_name, axis=digits.ndim - 3, tiled=True
+            )  # [..., size, L, max_r, N]
+            flat = full.reshape(*full.shape[:-3], ctx.L * max_r, ctx.n)
+            sel = jnp.take(flat, sel_idx, axis=-2)  # [..., size, ER, N]
+            return sel.reshape(*sel.shape[:-3], sel.shape[-3] * er, ctx.n)
+
+        self.decompose_fn = decompose_fn
+
+    def take_ct_limbs(self, x):
+        """This shard's ciphertext-level limbs out of a QP-basis array."""
+        return jax.lax.dynamic_slice_in_dim(x, self._offset, self.L, axis=-2)
+
+    def __getattr__(self, name):
+        return getattr(self._ctx, name)
 
 
 def make_sharded_pipeline(
@@ -63,10 +193,27 @@ def make_sharded_pipeline(
     "batch" axis.  Returns u64[Q, (2·ER)^(d-1), 2, L', N] where L' is
     `reply_limbs` when set (replies mod-switched after the cross-shard
     reduction — ops/modswitch.py) and the full L otherwise.
+
+    If the mesh has a "limb" axis, the RNS limb axis of the query, the
+    Galois keys, the DB, and all per-limb tables is sharded across it
+    (see module docstring); reply_limbs is unsupported in that layout
+    (mod-switch needs cross-limb CRT state).
     """
     dim_sum = sum(dims)
     d0 = dims[0]
-    n_db = mesh.shape["db"]
+    shape = dict(mesh.shape)
+    n_db = shape.get("db", 1)
+    n_limb = shape.get("limb", 1)
+    if n_limb > 1:
+        if ctx.L % n_limb != 0:
+            raise ValueError(
+                f"limb mesh axis {n_limb} must divide L={ctx.L} exactly"
+            )
+        if reply_limbs is not None:
+            raise ValueError("reply_limbs is unsupported with limb sharding")
+
+    def _ax(name):
+        return name if name in mesh.axis_names else None
     d0p = -(-d0 // n_db) * n_db
     d0_local = d0p // n_db
     local_dims = (d0_local,) + tuple(dims[1:])
@@ -86,29 +233,34 @@ def make_sharded_pipeline(
     )
     have_shoup = db_shoup is not None
 
-    def shard_body(query_local, gk, db_local, shoup_local):
-        # query_local: [Q/S_b, num_cts, 2, L, N]; db_local: [D0p/S_db, B, L, N]
+    limb_tabs = _limb_tables(ctx) if n_limb > 1 else {}
+
+    def shard_body(query_local, gk, db_local, shoup_local, tabs):
+        # query_local: [Q/S_b, num_cts, 2, L/S_l, N]
+        # db_local:    [D0p/S_db, B, L/S_l, N]
+        cx = _LimbShardView(ctx, tabs, "limb") if n_limb > 1 else ctx
         db_flat = db_local.reshape(-1, *db_local.shape[2:])
         shoup_flat = (
             shoup_local.reshape(-1, *shoup_local.shape[2:]) if have_shoup else None
         )
-        my_db = jax.lax.axis_index("db")
+        my_db = jax.lax.axis_index("db") if "db" in mesh.axis_names else 0
 
         def one_query(query_cts):
-            sv = expand.expand_query(ctx, gk, query_cts, dim_sum)
-            sv_ntt = ctx.ntt_q.forward(sv)
+            sv = expand.expand_query(cx, gk, query_cts, dim_sum)
+            sv_ntt = cx.ntt_q.forward(sv)
             sv0 = pad_axis(sv_ntt[:d0], 0, n_db)
             sv0_local = jax.lax.dynamic_slice_in_dim(
                 sv0, my_db * d0_local, d0_local, axis=0
             )
             sv_local = jnp.concatenate([sv0_local, sv_ntt[d0:]], axis=0)
             partial = scan.database_scan_decomp(
-                ctx, db_flat, local_dims, sv_local, shoup_flat
+                cx, db_flat, local_dims, sv_local, shoup_flat
             )
             # cross-shard homomorphic add: reduced summands, exact u64 psum
-            total = jax.lax.psum(partial, axis_name="db")
+            if "db" in mesh.axis_names:
+                partial = jax.lax.psum(partial, axis_name="db")
             reply = modular.barrett_reduce_64(
-                total, ctx.limbs_q.q, ctx.limbs_q.ratio_hi
+                partial, cx.limbs_q.q, cx.limbs_q.ratio_hi
             )
             if reply_limbs is not None:
                 from pir_tpu.ops import modswitch
@@ -118,15 +270,22 @@ def make_sharded_pipeline(
 
         return jax.vmap(one_query)(query_local)
 
+    limb = _ax("limb")
     mapped = jax.shard_map(
         shard_body,
         mesh=mesh,
-        in_specs=(P("batch"), P(), P("db"), P("db")),
-        out_specs=P("batch"),
+        in_specs=(
+            P(_ax("batch"), None, None, limb, None),
+            P(limb),
+            P(_ax("db"), None, limb, None),
+            P(_ax("db"), None, limb, None),
+            P(limb),
+        ),
+        out_specs=P(_ax("batch"), None, None, limb, None),
         check_vma=False,
     )
 
     def pipeline(query_cts, gk):
-        return mapped(query_cts, gk, db_blocks, shoup_blocks)
+        return mapped(query_cts, gk, db_blocks, shoup_blocks, limb_tabs)
 
     return jax.jit(pipeline)

@@ -70,6 +70,88 @@ def test_sharded_end_to_end_decode():
         assert out[i] == raw[idx]
 
 
+@pytest.mark.parametrize(
+    "d,batch,limb,q_bits",
+    [
+        (1, 1, 2, (26, 27, 28)),
+        (2, 1, 2, (26, 27, 28)),
+        (2, 2, 2, (26, 27, 28)),
+        # four ct limbs, 4-way limb mesh
+        (2, 1, 4, (26, 27, 28, 29, 30)),
+        # unequal digit ratios per limb (3 vs 4) exercise the padded
+        # all-gather decomposition
+        (2, 1, 2, (26, 34, 36)),
+    ],
+)
+def test_limb_sharded_matches_unsharded(d, batch, limb, q_bits):
+    assert len(jax.devices()) == 8
+    params = tiny_pir_params(
+        dbsize=30, bytes_per_item=8, dimensions=d, n=64, q_bits=q_bits
+    )
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    server = PirServer.create(db, params)
+    mesh = sharded.default_mesh(batch=batch, limb=limb)
+    assert dict(mesh.shape)["limb"] == limb
+
+    indices = [3, 17, 29, 11][: 2 * batch] or [3]
+    queries = [client._create_query(i) for i in indices]
+    q = sharded.pad_axis(
+        jnp.asarray(np.stack(queries)), 0, dict(mesh.shape)["batch"]
+    )
+    gk = {e: jnp.asarray(k.data) for e, k in client.galois_keys.keys.items()}
+
+    pipeline = sharded.make_sharded_pipeline(
+        db.ctx, params.dimensions, db.db_ntt, mesh
+    )
+    replies = pipeline(q, gk)
+
+    for qi in range(len(indices)):
+        single = server._pipeline(queries[qi].shape[0])(
+            jnp.asarray(queries[qi]), gk, None, db.db_ntt, db.db_ntt_shoup
+        )
+        assert (np.asarray(replies[qi]) == np.asarray(single)).all(), qi
+
+
+def test_limb_sharded_end_to_end_decode():
+    params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    mesh = sharded.default_mesh(batch=2, limb=2)  # db=2 x batch=2 x limb=2
+    indices = [0, 29]
+    queries = np.stack([client._create_query(i) for i in indices])
+    gk = {e: jnp.asarray(k.data) for e, k in client.galois_keys.keys.items()}
+    pipeline = sharded.make_sharded_pipeline(
+        db.ctx, params.dimensions, db.db_ntt, mesh
+    )
+    replies = np.asarray(pipeline(jnp.asarray(queries), gk))
+
+    from pir_tpu.proto import payload_pb2 as pb
+
+    resp = pb.Response()
+    for qi in range(len(indices)):
+        wire.save_ciphertexts(replies[qi], resp.reply.add())
+    out = client.process_response(indices, resp)
+    for i, idx in enumerate(indices):
+        assert out[i] == raw[idx]
+
+
+def test_limb_mesh_rejects_bad_widths():
+    params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    mesh = sharded.default_mesh(batch=1, limb=4)  # L=2 not divisible by 4
+    with pytest.raises(ValueError, match="must divide"):
+        sharded.make_sharded_pipeline(db.ctx, params.dimensions, db.db_ntt, mesh)
+    mesh2 = sharded.default_mesh(batch=1, limb=2)
+    with pytest.raises(ValueError, match="reply_limbs"):
+        sharded.make_sharded_pipeline(
+            db.ctx, params.dimensions, db.db_ntt, mesh2, reply_limbs=1
+        )
+
+
 def test_sharded_with_shrunken_reply():
     params = tiny_pir_params(
         dbsize=30, bytes_per_item=8, dimensions=2, n=128, q_bits=(30, 30, 32)
