@@ -81,6 +81,175 @@ def _scan_kernel(
         out_l[0, :, li] = ol
 
 
+# ---------------------------------------------------------------------------
+# Raw-accumulation kernel (v2) — the production TPU scan path.
+#
+# Per MAC the Shoup kernel above pays ~36 u32 multiplies reducing every
+# product; with moduli below 48 bits the full 2b-bit product fits three u32
+# words and a whole contraction fits 96 bits unreduced, so this kernel
+# multiplies with 9 u32 muls (wide32.mul_u48_3w), sums exact 16-bit half
+# partials across the contraction axis, and Barrett-reduces ONCE per output
+# element.  It also drops the Shoup companion table — the database is read
+# as a u32 lo plane plus a narrow (u8/u16) hi plane, cutting DB bytes from
+# 16 to 5-6 per coefficient.
+#
+# Layout: the database is pre-transposed to [P, L, D, N] planes so the
+# contraction axis D sits on sublanes and the coefficient tile on lanes;
+# the per-(coefficient-tile) selection-vector block is reused across all P
+# (grid order puts P innermost).
+# ---------------------------------------------------------------------------
+
+
+def _raw_kernel(svh, svl, dbh, dbl, outh, outl, *, moduli, ratios):
+    L = len(moduli)
+    for li in range(L):
+        xh = svh[:, li]  # [2, D, bn] u32
+        xl = svl[:, li]
+        wh = dbh[0, li].astype(jnp.uint32)[None]  # [1, D, bn]
+        wl = dbl[0, li][None]
+        p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
+        s2, s1, s0 = wide32.sum96_over_axis(p2, p1, p0, axis=1)  # [2, bn]
+        q = int(moduli[li])
+        rhi, rlo = ratios[li]
+        oh, ol = wide32.barrett_reduce96(s2, s1, s0, q, rhi, rlo)
+        outh[0, :, li] = oh
+        outl[0, :, li] = ol
+
+
+def hi_plane_dtype(moduli) -> jnp.dtype:
+    """Narrowest dtype that holds bits 32.. of values below max(q)."""
+    hi_bits = max(int(q).bit_length() for q in moduli) - 32
+    if hi_bits <= 8:
+        return jnp.uint8
+    if hi_bits <= 16:
+        return jnp.uint16
+    return jnp.uint32
+
+
+def split_planes(x: jnp.ndarray, moduli) -> tuple[jnp.ndarray, jnp.ndarray]:
+    """u64[..] -> (hi narrow, lo u32) planes."""
+    hi, lo = wide32.split_u64(x)
+    return hi.astype(hi_plane_dtype(moduli)), lo
+
+
+def max_raw_chunk(moduli) -> int:
+    """Longest unreduced 96-bit contraction: D <= 2^(96 - 2b), and the
+    16-bit half partial sums must stay exact in u32 (D <= 2^16)."""
+    b = max(int(q).bit_length() for q in moduli)
+    return max(1, min(1 << 16, 1 << max(0, 96 - 2 * b)))
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("moduli", "ratio_hi", "ratio_lo", "block_n", "interpret"),
+)
+def contract_dim_raw(
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    moduli: tuple,
+    ratio_hi: tuple,
+    ratio_lo: tuple,
+    block_n: int = DEFAULT_BLOCK_N,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """acc[p] = Σ_j sv[j] ⊙ db[p, j] mod q — raw-accumulation Pallas path.
+
+    sv_ntt: u64[D, 2, L, N]; db_hi/db_lo: [P, L, D, N] planes (see
+    split_planes).  All moduli must be below 2^48 and D below
+    max_raw_chunk(moduli) — callers chunk larger contractions.
+    Returns u64[P, 2, L, N] (reduced).
+    """
+    P, L, D, N = db_lo.shape
+    b = max(int(q).bit_length() for q in moduli)
+    assert b <= 48, "raw-accumulation path requires moduli below 2^48"
+    assert D <= max_raw_chunk(moduli)
+    bn = min(block_n, N)
+    assert N % bn == 0
+
+    sv_t = jnp.transpose(sv_ntt, (1, 2, 0, 3))  # [2, L, D, N]
+    sv_h, sv_l = wide32.split_u64(sv_t)
+
+    zero = np.int32(0)
+    # grid order (coefficient tile, prefix): P innermost so the sv block is
+    # fetched once per tile and every db block is streamed exactly once.
+    grid = (N // bn, P)
+    sv_spec = pl.BlockSpec(
+        (2, L, D, bn), lambda n, p: (zero, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    db_spec = pl.BlockSpec(
+        (1, L, D, bn), lambda n, p: (p, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 2, L, bn), lambda n, p: (p, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    ratios = tuple(
+        (int(h), int(l)) for h, l in zip(ratio_hi, ratio_lo)
+    )
+    kernel = functools.partial(_raw_kernel, moduli=moduli, ratios=ratios)
+    out_h, out_l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sv_spec, sv_spec, db_spec, db_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(sv_h, sv_l, db_hi, db_lo)
+    return wide32.join_u64(out_h, out_l)
+
+
+# Mosaic allocates the kernel's elementwise intermediates on the VMEM
+# stack; D·bn beyond ~96K u32 elements per limb overflows the 16MB scoped
+# limit (observed at D=162, bn=1024).  Chunk the contraction to stay under.
+_MAX_D_BN = 96 * 1024
+
+
+def contract_dim_auto(
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    moduli: tuple,
+    ratio_hi: tuple,
+    ratio_lo: tuple,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """contract_dim_raw with automatic D-chunking (VMEM + 96-bit bounds).
+
+    Chunks beyond max_raw_chunk (unreduced-sum overflow) or the VMEM stack
+    budget are contracted separately and combined with modular adds.
+    """
+    from pir_tpu.ops import modular
+
+    P, L, D, N = db_lo.shape
+    bn = min(DEFAULT_BLOCK_N, N)
+    chunk = max(8, min(max_raw_chunk(moduli), D, _MAX_D_BN // bn))
+    acc = None
+    for start in range(0, D, chunk):
+        end = min(start + chunk, D)
+        part = contract_dim_raw(
+            sv_ntt[start:end],
+            db_hi[:, :, start:end],
+            db_lo[:, :, start:end],
+            moduli,
+            ratio_hi,
+            ratio_lo,
+            block_n=bn,
+            interpret=interpret,
+        )
+        if acc is None:
+            acc = part
+        else:
+            q_col = jnp.asarray(np.array(moduli, dtype=np.uint64))[:, None]
+            acc = modular.add_mod(acc, part, q_col)
+    return acc
+
+
 @functools.partial(
     jax.jit, static_argnames=("moduli", "ratio_hi", "block_n", "interpret")
 )

@@ -74,6 +74,44 @@ def contract_dim(
     return acc
 
 
+def _ratio_tuples(ctx: PirContext) -> tuple:
+    lq = ctx.limbs_q
+    return (
+        tuple(int(x) for x in lq.ratio_hi[:, 0]),
+        tuple(int(x) for x in lq.ratio_lo[:, 0]),
+    )
+
+
+def contract_dim_planes(
+    ctx: PirContext,
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Pallas raw-accumulation contraction (ops/pallas_scan.py).
+
+    db_hi/db_lo: [P, L, D, N] planes (contraction axis on sublanes); see
+    pallas_scan.split_planes for the layout.  ~40x the XLA u64 path on TPU:
+    9 u32 multiplies per MAC, one Barrett reduction per output, and 5-6
+    database bytes per coefficient instead of 16 (no Shoup companions).
+    """
+    from pir_tpu.ops import pallas_scan
+
+    rh, rl = _ratio_tuples(ctx)
+    return pallas_scan.contract_dim_auto(
+        sv_ntt, db_hi, db_lo, ctx.limbs_q.moduli, rh, rl, interpret=interpret
+    )
+
+
+def items_to_planes(ctx: PirContext, items_ntt: jnp.ndarray):
+    """[P, D, L, N] u64 items -> transposed (hi, lo) planes for the kernel."""
+    from pir_tpu.ops import pallas_scan
+
+    t = jnp.transpose(items_ntt, (0, 2, 1, 3))  # [P, L, D, N]
+    return pallas_scan.split_planes(t, ctx.limbs_q.moduli)
+
+
 def database_scan_decomp(
     ctx: PirContext,
     db_ntt: jnp.ndarray,
@@ -81,6 +119,8 @@ def database_scan_decomp(
     sv_ntt: jnp.ndarray,
     db_shoup: jnp.ndarray | None = None,
     probe=None,
+    db_planes=None,
+    interpret: bool = False,
 ) -> jnp.ndarray:
     """Full d-dimensional decomposition-mode scan.
 
@@ -89,6 +129,10 @@ def database_scan_decomp(
             with D_0 outermost (parity with database.cpp:318-326).
     sv_ntt: u64[sum(dims), 2, L, N] — expanded selection vector, NTT form,
             dimension blocks concatenated in order.
+    db_planes: optional (hi, lo) transposed planes of the inner-grouped DB
+            ([prefix, L, inner, N], pallas_scan.split_planes) — switches
+            every contraction to the Pallas raw-accumulation kernel
+            (db_ntt/db_shoup are then unused on the hot path).
     Returns u64[(2·ER)^(d-1), 2, L, N] reply ciphertexts, coefficient form.
     """
     d = len(dims)
@@ -100,17 +144,29 @@ def database_scan_decomp(
     total = 1
     for dim in dims:
         total *= dim
-    assert db_ntt.shape[0] == total, "database must be zero-padded to the hypercube"
+    if db_planes is not None:
+        assert db_planes[1].shape[0] * db_planes[1].shape[2] == total, (
+            "db planes must cover the zero-padded hypercube"
+        )
+    else:
+        assert db_ntt.shape[0] == total, (
+            "database must be zero-padded to the hypercube"
+        )
 
     # Innermost dimension: plain DB plaintexts, one ct per prefix.
     inner = dims[-1]
     prefix = total // inner
     sv_last = sv_ntt[offsets[-1] : offsets[-1] + inner]
-    items = db_ntt.reshape(prefix, inner, *db_ntt.shape[1:])
-    shoup = (
-        db_shoup.reshape(items.shape) if db_shoup is not None else None
-    )
-    result = contract_dim(ctx, sv_last, items, shoup)  # [prefix, 2, L, N]
+    if db_planes is not None:
+        result = contract_dim_planes(
+            ctx, sv_last, db_planes[0], db_planes[1], interpret=interpret
+        )
+    else:
+        items = db_ntt.reshape(prefix, inner, *db_ntt.shape[1:])
+        shoup = (
+            db_shoup.reshape(items.shape) if db_shoup is not None else None
+        )
+        result = contract_dim(ctx, sv_last, items, shoup)  # [prefix, 2, L, N]
     result = ctx.ntt_q.inverse(result)  # coeff form, like the reference's
     # per-level transform_from_ntt (database.cpp:250-254)
     if probe is not None:
@@ -148,7 +204,11 @@ def database_scan_decomp(
         items_flat = items.transpose(0, 2, 1, 3, 4).reshape(
             prefix * newC, dim, ctx.L, ctx.n
         )
-        res = contract_dim(ctx, sv_lvl, items_flat)  # [prefix*newC, 2, L, N]
+        if db_planes is not None:
+            ih, il = items_to_planes(ctx, items_flat)
+            res = contract_dim_planes(ctx, sv_lvl, ih, il, interpret=interpret)
+        else:
+            res = contract_dim(ctx, sv_lvl, items_flat)  # [prefix*newC, 2, L, N]
         res = ctx.ntt_q.inverse(res)
         result = res.reshape(prefix, newC, 2, ctx.L, ctx.n)
         if probe is not None:

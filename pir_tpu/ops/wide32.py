@@ -105,6 +105,140 @@ def barrett_reduce64(xh, xl, rhih, rhil, qh, ql):
 
 
 # ---------------------------------------------------------------------------
+# Raw-product accumulation path (operands below 2^48)
+#
+# For the DB scan the per-product Shoup reduction is wasted work: with
+# moduli of b <= 48 bits the full 2b-bit product fits three u32 words, and
+# a whole contraction chunk can be accumulated unreduced (sum < 2^96) with
+# ONE Barrett reduction per output element.  Per MAC this costs 9 u32
+# multiplies (vs ~36 for shoup_mulmod) and needs no Shoup companion table —
+# halving both the VPU work and the database bytes read from HBM.
+# ---------------------------------------------------------------------------
+
+
+def mul_u48_3w(xh, xl, wh, wl):
+    """(x * w) for x, w < 2^48 -> three u32 words (p2, p1, p0).
+
+    Requires xh, wh < 2^16 (i.e. both operands below 2^48).  9 multiplies.
+    """
+    # low x low: full 32x32 -> 64
+    ll_hi, ll_lo = mul32_wide(xl, wl)  # 4 muls
+    # xl * wh  (wh < 2^16): split xl into 16-bit halves -> < 2^48
+    a0 = xl & _M16
+    a1 = xl >> 16
+    m1 = a0 * wh  # < 2^32
+    m2 = a1 * wh  # < 2^32
+    xlwh_lo = m1 + (m2 << 16)
+    c_a = (xlwh_lo < m1).astype(jnp.uint32)
+    xlwh_hi = (m2 >> 16) + c_a  # < 2^16
+    # xh * wl  (xh < 2^16)
+    b0 = wl & _M16
+    b1 = wl >> 16
+    n1 = xh * b0
+    n2 = xh * b1
+    xhwl_lo = n1 + (n2 << 16)
+    c_b = (xhwl_lo < n1).astype(jnp.uint32)
+    xhwl_hi = (n2 >> 16) + c_b  # < 2^16
+    # xh * wh < 2^32
+    hh = xh * wh
+    # combine: p0 = ll_lo; middle word = ll_hi + xlwh_lo + xhwl_lo
+    p1 = ll_hi + xlwh_lo
+    c1 = (p1 < ll_hi).astype(jnp.uint32)
+    p1b = p1 + xhwl_lo
+    c2 = (p1b < p1).astype(jnp.uint32)
+    p2 = hh + xlwh_hi + xhwl_hi + c1 + c2  # < 2^32 (2b - 64 <= 32)
+    return p2, p1b, ll_lo
+
+
+def acc96_add(a2, a1, a0, p2, p1, p0):
+    """96-bit accumulate: (a2,a1,a0) += (p2,p1,p0), wrap mod 2^96."""
+    s0 = a0 + p0
+    c0 = (s0 < a0).astype(jnp.uint32)
+    s1 = a1 + p1
+    c1 = (s1 < a1).astype(jnp.uint32)
+    s1b = s1 + c0
+    c1b = (s1b < s1).astype(jnp.uint32)
+    s2 = a2 + p2 + c1 + c1b
+    return s2, s1b, s0
+
+
+def sum96_over_axis(p2, p1, p0, axis):
+    """Exact sum of 3-word products along `axis` (< 2^16 terms).
+
+    Each u32 word is split into 16-bit halves so the per-half partial sums
+    stay exact in u32, then the halves are recombined with carries.
+    Returns (s2, s1, s0) u32 words of the 96-bit total (must not overflow).
+    """
+    # Mosaic has no u64 and no unsigned reductions: sum the halves as i32
+    # (two's-complement wrap == u32 wrap) and reinterpret back.  The halves
+    # are sized so the 32-bit accumulation is exact mod 2^32.
+    def _s(x):
+        return jnp.sum(
+            x.astype(jnp.int32), axis=axis, dtype=jnp.int32
+        ).astype(jnp.uint32)
+
+    lo0 = _s(p0 & _M16)
+    hi0 = _s(p0 >> 16)
+    lo1 = _s(p1 & _M16)
+    hi1 = _s(p1 >> 16)
+    lo2 = _s(p2 & _M16)
+    hi2 = _s(p2 >> 16)
+    # word 0 = lo0 + (hi0 << 16); carries ripple upward
+    s0 = lo0 + (hi0 << 16)
+    c0 = (s0 < lo0).astype(jnp.uint32)
+    t0 = (hi0 >> 16) + c0  # overflow of word 0 into word 1
+    s1a = lo1 + t0
+    c1a = (s1a < lo1).astype(jnp.uint32)
+    s1 = s1a + (hi1 << 16)
+    c1b = (s1 < s1a).astype(jnp.uint32)
+    t1 = (hi1 >> 16) + c1a + c1b
+    s2 = lo2 + (hi2 << 16) + t1
+    return s2, s1, s0
+
+
+def barrett_reduce96(x2, x1, x0, q, ratio_hi, ratio_lo):
+    """x mod q for a 96-bit x = (x2, x1, x0) u32 words; q < 2^62.
+
+    Host-side scalars q/ratio_* are Python ints (split into u32 pairs here).
+    Mirrors modular.barrett_reduce_128 with hi = (0, x2), lo = (x1, x0).
+    """
+    qh = np.uint32(q >> 32)
+    ql = np.uint32(q & 0xFFFFFFFF)
+    rhh = np.uint32(ratio_hi >> 32)
+    rhl = np.uint32(ratio_hi & 0xFFFFFFFF)
+    rlh = np.uint32(ratio_lo >> 32)
+    rll = np.uint32(ratio_lo & 0xFFFFFFFF)
+    # Round 1: carry = mulhi64(lo, ratio_lo)
+    ch, cl = mulhi64(x1, x0, rlh, rll)
+    # t2 = lo * ratio_hi (full 128: hi pair + lo pair)
+    t2hh, t2hl = mulhi64(x1, x0, rhh, rhl)
+    t2lh, t2ll = mullo64(x1, x0, rhh, rhl)
+    tmp1h, tmp1l = add64(t2lh, t2ll, ch, cl)
+    carry2 = (
+        (tmp1h < t2lh) | ((tmp1h == t2lh) & (tmp1l < t2ll))
+    ).astype(jnp.uint32)
+    tmp3h, tmp3l = add64(t2hh, t2hl, jnp.zeros_like(carry2), carry2)
+    # Round 2: hi * ratio_lo with hi = (0, x2): 64x64 where hi word is x2
+    t4hh, t4hl = mulhi64(jnp.zeros_like(x2), x2, rlh, rll)
+    t4lh, t4ll = mullo64(jnp.zeros_like(x2), x2, rlh, rll)
+    tmp1bh, tmp1bl = add64(tmp1h, tmp1l, t4lh, t4ll)
+    carry3 = (
+        (tmp1bh < t4lh) | ((tmp1bh == t4lh) & (tmp1bl < t4ll))
+    ).astype(jnp.uint32)
+    c4h, c4l = add64(t4hh, t4hl, jnp.zeros_like(carry3), carry3)
+    # quot (low 64 bits) = hi*ratio_hi + tmp3 + carry4; hi = (0, x2)
+    hrh, hrl = mullo64(jnp.zeros_like(x2), x2, rhh, rhl)
+    qth, qtl = add64(hrh, hrl, tmp3h, tmp3l)
+    qth, qtl = add64(qth, qtl, c4h, c4l)
+    # r = lo - quot * q (mod 2^64)
+    mh, ml = mullo64(qth, qtl, qh, ql)
+    rh, rl = sub64(x1, x0, mh, ml)
+    over = ge64(rh, rl, qh, ql)
+    rh2, rl2 = sub64(rh, rl, qh, ql)
+    return jnp.where(over, rh2, rh), jnp.where(over, rl2, rl)
+
+
+# ---------------------------------------------------------------------------
 # u64 <-> pair conversions (XLA-side, at kernel boundaries)
 # ---------------------------------------------------------------------------
 

@@ -27,18 +27,38 @@ from pir_tpu.ops import modular, scan
 from pir_tpu.pir.encoders import IntegerEncoder, StringEncoder
 
 
+def default_scan_impl(moduli) -> str:
+    """'pallas' on a TPU backend with sub-2^48 moduli, else 'xla'."""
+    import jax
+
+    if jax.default_backend() != "tpu":
+        return "xla"
+    if max(int(q).bit_length() for q in moduli) > 48:
+        return "xla"
+    return "pallas"
+
+
 class PirDatabase:
-    def __init__(self, params: PirParams):
+    def __init__(self, params: PirParams, scan_impl: str = "auto"):
         self.params = params
         self.ctx = PirContext(params)
         self.db_pts: Optional[np.ndarray] = None  # u64[num_pt, N] mod t
         self.db_ntt: Optional[jnp.ndarray] = None  # u64[padded, L, N]
         self.db_ntt_shoup: Optional[jnp.ndarray] = None  # Shoup companions
+        # Pallas-path operands: transposed (hi, lo) planes of the
+        # inner-dimension-grouped NTT DB ([prefix, L, inner, N]); replaces
+        # the Shoup table (5-6 bytes/coefficient instead of 16).
+        self.db_planes = None
+        if scan_impl == "auto":
+            scan_impl = default_scan_impl(self.ctx.ct_moduli)
+        if scan_impl not in ("pallas", "xla"):
+            raise ValueError(f"unknown scan_impl {scan_impl!r}")
+        self.scan_impl = scan_impl
 
     # ------------------------------------------------------------------
     @classmethod
-    def create(cls, rawdb, params: PirParams) -> "PirDatabase":
-        db = cls(params)
+    def create(cls, rawdb, params: PirParams, scan_impl: str = "auto") -> "PirDatabase":
+        db = cls(params, scan_impl=scan_impl)
         if len(rawdb) and isinstance(rawdb[0], (int, np.integer)):
             db.populate_ints(rawdb)
         else:
@@ -120,15 +140,45 @@ class PirDatabase:
         padded[: pts.shape[0]] = pts
         lq = self.ctx.limbs_q
 
-        @jax.jit
-        def prep(raw):
-            ntt = evaluator.plaintext_to_ntt(self.ctx, raw)
-            shoup = modular.shoup_precompute_device(
-                ntt, lq.q, lq.ratio_hi, lq.ratio_lo
-            )
-            return ntt, shoup
+        if self._use_planes:
+            # Pallas raw-accumulation operands: inner-dimension-grouped
+            # [prefix, L, inner, N] (hi, lo) planes.  No Shoup table — the
+            # kernel Barrett-reduces once per output, so the companion
+            # array (another 8 bytes/coefficient of HBM) is dead weight.
+            from pir_tpu.ops import pallas_scan
 
-        self.db_ntt, self.db_ntt_shoup = prep(jnp.asarray(padded))
+            inner = self.params.dimensions[-1]
+            prefix = self.padded_size // inner
+
+            @jax.jit
+            def prep(raw):
+                ntt = evaluator.plaintext_to_ntt(self.ctx, raw)
+                grouped = ntt.reshape(prefix, inner, self.ctx.L, self.ctx.n)
+                planes = pallas_scan.split_planes(
+                    jnp.transpose(grouped, (0, 2, 1, 3)), lq.moduli
+                )
+                return ntt, planes
+
+            self.db_ntt, self.db_planes = prep(jnp.asarray(padded))
+            self.db_ntt_shoup = None
+        else:
+
+            @jax.jit
+            def prep(raw):
+                ntt = evaluator.plaintext_to_ntt(self.ctx, raw)
+                shoup = modular.shoup_precompute_device(
+                    ntt, lq.q, lq.ratio_hi, lq.ratio_lo
+                )
+                return ntt, shoup
+
+            self.db_ntt, self.db_ntt_shoup = prep(jnp.asarray(padded))
+
+    @property
+    def _use_planes(self) -> bool:
+        return (
+            self.scan_impl == "pallas"
+            and not self.params.use_ciphertext_multiplication
+        )
 
     # ------------------------------------------------------------------
     # ------------------------------------------------------------------
@@ -141,19 +191,32 @@ class PirDatabase:
             path,
             db_pts=self.db_pts,
             db_ntt=np.asarray(self.db_ntt),
-            db_ntt_shoup=np.asarray(self.db_ntt_shoup),
             num_items=self.params.num_items,
         )
 
     @classmethod
-    def load(cls, path, params: PirParams) -> "PirDatabase":
+    def load(cls, path, params: PirParams, scan_impl: str = "auto") -> "PirDatabase":
         data = np.load(path)
         if int(data["num_items"]) != params.num_items:
             raise ValueError("checkpoint does not match parameters")
-        db = cls(params)
+        db = cls(params, scan_impl=scan_impl)
         db.db_pts = data["db_pts"]
-        db.db_ntt = jnp.asarray(data["db_ntt"])
-        db.db_ntt_shoup = jnp.asarray(data["db_ntt_shoup"])
+        ntt = jnp.asarray(data["db_ntt"])
+        db.db_ntt = ntt
+        lq = db.ctx.limbs_q
+        if db._use_planes:
+            from pir_tpu.ops import pallas_scan
+
+            inner = params.dimensions[-1]
+            prefix = db.padded_size // inner
+            grouped = ntt.reshape(prefix, inner, db.ctx.L, db.ctx.n)
+            db.db_planes = pallas_scan.split_planes(
+                jnp.transpose(grouped, (0, 2, 1, 3)), lq.moduli
+            )
+        else:
+            db.db_ntt_shoup = modular.shoup_precompute_device(
+                ntt, lq.q, lq.ratio_hi, lq.ratio_lo
+            )
         return db
 
     def multiply(
@@ -201,6 +264,7 @@ class PirDatabase:
             sv_ntt,
             self.db_ntt_shoup,
             probe=probe,
+            db_planes=self.db_planes if self._use_planes else None,
         )
 
     # ------------------------------------------------------------------

@@ -101,6 +101,20 @@ class PirServer:
                     scan.database_scan_ctmult(ctx, db_ntt, dims, sv, relin_key)
                 )
 
+        elif self.db._use_planes:
+
+            def run(query_cts, galois_key_arrays, relin_key, db_hi, db_lo):
+                del relin_key
+                sv = expand.expand_query(
+                    ctx, galois_key_arrays, query_cts, dim_sum
+                )
+                sv_ntt = ctx.ntt_q.forward(sv)
+                return shrink(
+                    scan.database_scan_decomp(
+                        ctx, None, dims, sv_ntt, db_planes=(db_hi, db_lo)
+                    )
+                )
+
         else:
 
             def run(query_cts, galois_key_arrays, relin_key, db_ntt, db_shoup):
@@ -114,6 +128,12 @@ class PirServer:
                 )
 
         return jax.jit(run)
+
+    def _db_operands(self):
+        """The device-resident DB arrays fed to the compiled pipeline."""
+        if self.db._use_planes and not self.params.use_ciphertext_multiplication:
+            return self.db.db_planes
+        return (self.db.db_ntt, self.db.db_ntt_shoup)
 
     @functools.lru_cache(maxsize=8)
     def _pipeline_packed(self, num_query_cts: int):
@@ -137,11 +157,11 @@ class PirServer:
             lo, hi = packing.split_host(np.asarray(cts), self._hi_dtype)
             r_lo, r_hi = self._pipeline_packed(cts.shape[0])(
                 jnp.asarray(lo), jnp.asarray(hi), gk_arrays, rk,
-                self.db.db_ntt, self.db.db_ntt_shoup,
+                *self._db_operands(),
             )
             return packing.join_host(*jax.device_get((r_lo, r_hi)))
         reply = self._pipeline(cts.shape[0])(
-            jnp.asarray(cts), gk_arrays, rk, self.db.db_ntt, self.db.db_ntt_shoup
+            jnp.asarray(cts), gk_arrays, rk, *self._db_operands()
         )
         return jax.device_get(reply)
 
@@ -252,14 +272,14 @@ class PirServer:
                     chunk.shape[1], chunk.shape[0]
                 )(
                     jnp.asarray(lo), jnp.asarray(hi), gk_arrays, rk,
-                    self.db.db_ntt, self.db.db_ntt_shoup,
+                    *self._db_operands(),
                 )
                 replies = packing.join_host(*jax.device_get(packed))
             else:
                 replies = jax.device_get(
                     self._pipeline_batched(chunk.shape[1], chunk.shape[0])(
                         jnp.asarray(chunk), gk_arrays, rk,
-                        self.db.db_ntt, self.db.db_ntt_shoup,
+                        *self._db_operands(),
                     )
                 )
             for qi in range(replies.shape[0]):

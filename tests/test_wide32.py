@@ -110,3 +110,98 @@ def test_pallas_contract_matches_xla(rng):
         )
     )
     assert (got == expect).all()
+
+
+@pytest.mark.parametrize("qbits", [30, 36, 44, 48])
+def test_mul_u48_3w_and_sum96(rng, qbits):
+    from pir_tpu.ops.pallas_scan import max_raw_chunk
+
+    q = primes.get_prime(128, qbits)
+    D = min(64, max_raw_chunk((q,)))
+    x = rng.integers(0, q, size=(D, 50), dtype=np.uint64)
+    w = rng.integers(0, q, size=(D, 50), dtype=np.uint64)
+    xh, xl = _pairs(x)
+    wh, wl = _pairs(w)
+    p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
+    prod = x.astype(object) * w.astype(object)
+    got = (
+        np.asarray(p2).astype(object) << 64
+    ) + (np.asarray(p1).astype(object) << 32) + np.asarray(p0).astype(object)
+    assert (got == prod).all()
+
+    s2, s1, s0 = wide32.sum96_over_axis(p2, p1, p0, axis=0)
+    total = prod.sum(axis=0)
+    gots = (
+        np.asarray(s2).astype(object) << 64
+    ) + (np.asarray(s1).astype(object) << 32) + np.asarray(s0).astype(object)
+    assert (gots == total % (1 << 96)).all()
+
+    ratio_hi, ratio_lo = modular.barrett_ratio(q)
+    bh, bl = wide32.barrett_reduce96(s2, s1, s0, q, int(ratio_hi), int(ratio_lo))
+    assert (_join(bh, bl) == total % q).all()
+
+
+def test_barrett_reduce96_random(rng):
+    q = primes.get_prime(256, 45)
+    ratio_hi, ratio_lo = modular.barrett_ratio(q)
+    words = rng.integers(0, 1 << 32, size=(3, 4000), dtype=np.uint32)
+    x2, x1, x0 = (jnp.asarray(w) for w in words)
+    rh, rl = wide32.barrett_reduce96(x2, x1, x0, q, int(ratio_hi), int(ratio_lo))
+    vals = (
+        words[0].astype(object) << 64
+    ) + (words[1].astype(object) << 32) + words[2].astype(object)
+    assert (_join(rh, rl) == vals % q).all()
+
+
+def test_pallas_raw_contract_matches_xla(rng):
+    from pir_tpu.core.context import PirContext
+    from pir_tpu.ops import pallas_scan, scan
+    from pir_tpu.testing.params import tiny_pir_params
+
+    ctx = PirContext(tiny_pir_params(n=256, t_bits=13))
+    assert max(q.bit_length() for q in ctx.ct_moduli) <= 48
+    P, D, L, N = 3, 7, ctx.L, ctx.n
+    db = np.zeros((P, D, L, N), dtype=np.uint64)
+    sv = np.zeros((D, 2, L, N), dtype=np.uint64)
+    for li, q in enumerate(ctx.ct_moduli):
+        db[:, :, li] = rng.integers(0, q, size=(P, D, N), dtype=np.uint64)
+        sv[:, :, li] = rng.integers(0, q, size=(D, 2, N), dtype=np.uint64)
+
+    expect = np.asarray(
+        scan.contract_dim(ctx, jnp.asarray(sv), jnp.asarray(db))
+    )
+    dbt = jnp.transpose(jnp.asarray(db), (0, 2, 1, 3))  # [P, L, D, N]
+    dbh, dbl = pallas_scan.split_planes(dbt, ctx.ct_moduli)
+    got = np.asarray(
+        scan.contract_dim_planes(ctx, jnp.asarray(sv), dbh, dbl, interpret=True)
+    )
+    assert (got == expect).all()
+
+
+def test_database_scan_decomp_planes_matches(rng):
+    from pir_tpu.core.context import PirContext
+    from pir_tpu.ops import pallas_scan, scan
+    from pir_tpu.testing.params import tiny_pir_params
+
+    ctx = PirContext(tiny_pir_params(n=256, t_bits=13))
+    dims = (3, 4)
+    total = 12
+    db = np.zeros((total, ctx.L, ctx.n), dtype=np.uint64)
+    sv = np.zeros((sum(dims), 2, ctx.L, ctx.n), dtype=np.uint64)
+    for li, q in enumerate(ctx.ct_moduli):
+        db[:, li] = rng.integers(0, q, size=(total, ctx.n), dtype=np.uint64)
+        sv[:, :, li] = rng.integers(0, q, size=(sum(dims), 2, ctx.n), dtype=np.uint64)
+    db_j = jnp.asarray(db)
+    sv_j = jnp.asarray(sv)
+    expect = np.asarray(scan.database_scan_decomp(ctx, db_j, dims, sv_j))
+
+    grouped = db_j.reshape(total // dims[-1], dims[-1], ctx.L, ctx.n)
+    planes = pallas_scan.split_planes(
+        jnp.transpose(grouped, (0, 2, 1, 3)), ctx.ct_moduli
+    )
+    got = np.asarray(
+        scan.database_scan_decomp(
+            ctx, None, dims, sv_j, db_planes=planes, interpret=True
+        )
+    )
+    assert (got == expect).all()
