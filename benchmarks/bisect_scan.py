@@ -3,6 +3,8 @@
 Distinct pre-uploaded inputs per iteration defeat the axon tunnel's
 identical-dispatch memoization; block at the end measures throughput.
 """
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "axon,cpu")
 

@@ -1,4 +1,6 @@
-"""Where does the pipeline compile time go? (scratch, not committed)"""
+"""Where does the pipeline compile time go? (stage-by-stage jit timing)."""
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "axon,cpu")
 print("backend:", jax.default_backend())

@@ -1,4 +1,6 @@
 """Stage-level timing of the 1M-item pipeline on the TPU."""
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time, numpy as np, jax, jax.numpy as jnp
 jax.config.update("jax_platforms", "axon,cpu")
 
@@ -82,7 +84,6 @@ f_dntt = jax.jit(lambda p: ctx.ntt_q.forward(jnp.broadcast_to(p[..., None, :], p
 bench("ntt(digits)", f_dntt, pts)
 
 # transfer: host->device query + keys cached; device->host reply
-lo_hi = None
 t0 = time.perf_counter()
 for _ in range(50):
     x = jax.device_get(reply)

@@ -1,3 +1,5 @@
+import sys, pathlib
+sys.path.insert(0, str(pathlib.Path(__file__).resolve().parents[1]))
 import time, numpy as np, jax
 jax.config.update("jax_platforms", "axon,cpu")
 print("backend:", jax.default_backend(), jax.devices())

@@ -116,9 +116,11 @@ def _raw_kernel(svh, svl, dbh, dbl, outh, outl, *, moduli, ratios):
         outl[0, :, li] = ol
 
 
-def hi_plane_dtype(moduli) -> jnp.dtype:
+def hi_plane_dtype(moduli=None, bits: int | None = None) -> jnp.dtype:
     """Narrowest dtype that holds bits 32.. of values below max(q)."""
-    hi_bits = max(int(q).bit_length() for q in moduli) - 32
+    if bits is None:
+        bits = max(int(q).bit_length() for q in moduli)
+    hi_bits = bits - 32
     if hi_bits <= 8:
         return jnp.uint8
     if hi_bits <= 16:
@@ -126,17 +128,108 @@ def hi_plane_dtype(moduli) -> jnp.dtype:
     return jnp.uint32
 
 
-def split_planes(x: jnp.ndarray, moduli) -> tuple[jnp.ndarray, jnp.ndarray]:
+def split_planes(
+    x: jnp.ndarray, moduli=None, bits: int | None = None
+) -> tuple[jnp.ndarray, jnp.ndarray]:
     """u64[..] -> (hi narrow, lo u32) planes."""
     hi, lo = wide32.split_u64(x)
-    return hi.astype(hi_plane_dtype(moduli)), lo
+    return hi.astype(hi_plane_dtype(moduli, bits)), lo
 
 
-def max_raw_chunk(moduli) -> int:
+def max_raw_chunk(moduli=None, bits: int | None = None) -> int:
     """Longest unreduced 96-bit contraction: D <= 2^(96 - 2b), and the
     16-bit half partial sums must stay exact in u32 (D <= 2^16)."""
-    b = max(int(q).bit_length() for q in moduli)
+    b = bits if bits is not None else max(int(q).bit_length() for q in moduli)
     return max(1, min(1 << 16, 1 << max(0, 96 - 2 * b)))
+
+
+def limb_consts(q: jnp.ndarray, ratio_hi: jnp.ndarray, ratio_lo: jnp.ndarray):
+    """(q, ratio_hi, ratio_lo) u64[L, 1] columns -> u32[L, 6] word table
+    (qh, ql, rhh, rhl, rlh, rll) for the runtime-constants kernel."""
+    cols = []
+    for arr in (q, ratio_hi, ratio_lo):
+        hi, lo = wide32.split_u64(arr[:, 0])
+        cols += [hi, lo]
+    return jnp.stack(cols, axis=1)
+
+
+def _raw_kernel_dyn(consts, svh, svl, dbh, dbl, outh, outl, *, L):
+    """_raw_kernel with per-limb modulus constants as a traced SMEM table
+    (u32[L, 6]) instead of baked-in Python ints — required under
+    shard_map limb sharding, where each device owns different moduli but
+    all devices share one traced program."""
+    for li in range(L):
+        xh = svh[:, li]
+        xl = svl[:, li]
+        wh = dbh[0, li].astype(jnp.uint32)[None]
+        wl = dbl[0, li][None]
+        p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
+        s2, s1, s0 = wide32.sum96_over_axis(p2, p1, p0, axis=1)
+        oh, ol = wide32.barrett_reduce96_w(
+            s2, s1, s0,
+            consts[li, 0], consts[li, 1], consts[li, 2],
+            consts[li, 3], consts[li, 4], consts[li, 5],
+        )
+        outh[0, :, li] = oh
+        outl[0, :, li] = ol
+
+
+@functools.partial(
+    jax.jit, static_argnames=("max_bits", "block_n", "interpret")
+)
+def contract_dim_raw_dyn(
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    consts: jnp.ndarray,
+    max_bits: int,
+    block_n: int = DEFAULT_BLOCK_N,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """contract_dim_raw with runtime modulus constants (see limb_consts).
+
+    max_bits: static upper bound on the moduli bit width (must be <= 48);
+    governs the raw-chunk bound exactly as in the static path.
+    """
+    P, L, D, N = db_lo.shape
+    assert max_bits <= 48, "raw-accumulation path requires moduli below 2^48"
+    assert D <= max_raw_chunk(bits=max_bits)
+    bn = min(block_n, N)
+    assert N % bn == 0
+
+    sv_t = jnp.transpose(sv_ntt, (1, 2, 0, 3))  # [2, L, D, N]
+    sv_h, sv_l = wide32.split_u64(sv_t)
+
+    zero = np.int32(0)
+    grid = (N // bn, P)
+    consts_spec = pl.BlockSpec(
+        (L, 6), lambda n, p: (zero, zero), memory_space=pltpu.SMEM
+    )
+    sv_spec = pl.BlockSpec(
+        (2, L, D, bn), lambda n, p: (zero, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    db_spec = pl.BlockSpec(
+        (1, L, D, bn), lambda n, p: (p, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, 2, L, bn), lambda n, p: (p, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    kernel = functools.partial(_raw_kernel_dyn, L=L)
+    out_h, out_l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[consts_spec, sv_spec, sv_spec, db_spec, db_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=(
+            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+        ),
+        interpret=interpret,
+    )(consts, sv_h, sv_l, db_hi, db_lo)
+    return wide32.join_u64(out_h, out_l)
 
 
 @functools.partial(
@@ -247,6 +340,39 @@ def contract_dim_auto(
         else:
             q_col = jnp.asarray(np.array(moduli, dtype=np.uint64))[:, None]
             acc = modular.add_mod(acc, part, q_col)
+    return acc
+
+
+def contract_dim_auto_dyn(
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    consts: jnp.ndarray,
+    q_col: jnp.ndarray,
+    max_bits: int,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """contract_dim_raw_dyn with automatic D-chunking (the runtime-consts
+    twin of contract_dim_auto).  q_col: u64[L, 1] for the chunk-combining
+    modular adds."""
+    from pir_tpu.ops import modular
+
+    P, L, D, N = db_lo.shape
+    bn = min(DEFAULT_BLOCK_N, N)
+    chunk = max(8, min(max_raw_chunk(bits=max_bits), D, _MAX_D_BN // bn))
+    acc = None
+    for start in range(0, D, chunk):
+        end = min(start + chunk, D)
+        part = contract_dim_raw_dyn(
+            sv_ntt[start:end],
+            db_hi[:, :, start:end],
+            db_lo[:, :, start:end],
+            consts,
+            max_bits,
+            block_n=bn,
+            interpret=interpret,
+        )
+        acc = part if acc is None else modular.add_mod(acc, part, q_col)
     return acc
 
 

@@ -82,6 +82,13 @@ def _ratio_tuples(ctx: PirContext) -> tuple:
     )
 
 
+def _ct_moduli_bits(ctx: PirContext) -> int:
+    """Static max bit width of the ciphertext-level moduli.  Uses the full
+    chain (ctx.ct_moduli delegates through limb-shard views), so the bound
+    holds on every device of a limb-sharded mesh."""
+    return max(int(q).bit_length() for q in ctx.ct_moduli)
+
+
 def contract_dim_planes(
     ctx: PirContext,
     sv_ntt: jnp.ndarray,
@@ -95,9 +102,20 @@ def contract_dim_planes(
     pallas_scan.split_planes for the layout.  ~40x the XLA u64 path on TPU:
     9 u32 multiplies per MAC, one Barrett reduction per output, and 5-6
     database bytes per coefficient instead of 16 (no Shoup companions).
+
+    Under a limb-sharded mesh (ctx is a _LimbShardView) the per-limb
+    modulus constants are traced device-local arrays, so the
+    runtime-constants kernel variant is used.
     """
     from pir_tpu.ops import pallas_scan
 
+    if getattr(ctx, "limb_axis_name", None) is not None:
+        lq = ctx.limbs_q
+        consts = pallas_scan.limb_consts(lq.q, lq.ratio_hi, lq.ratio_lo)
+        return pallas_scan.contract_dim_auto_dyn(
+            sv_ntt, db_hi, db_lo, consts, lq.q, _ct_moduli_bits(ctx),
+            interpret=interpret,
+        )
     rh, rl = _ratio_tuples(ctx)
     return pallas_scan.contract_dim_auto(
         sv_ntt, db_hi, db_lo, ctx.limbs_q.moduli, rh, rl, interpret=interpret
@@ -109,7 +127,7 @@ def items_to_planes(ctx: PirContext, items_ntt: jnp.ndarray):
     from pir_tpu.ops import pallas_scan
 
     t = jnp.transpose(items_ntt, (0, 2, 1, 3))  # [P, L, D, N]
-    return pallas_scan.split_planes(t, ctx.limbs_q.moduli)
+    return pallas_scan.split_planes(t, bits=_ct_moduli_bits(ctx))
 
 
 def database_scan_decomp(

@@ -208,6 +208,13 @@ def barrett_reduce96(x2, x1, x0, q, ratio_hi, ratio_lo):
     rhl = np.uint32(ratio_hi & 0xFFFFFFFF)
     rlh = np.uint32(ratio_lo >> 32)
     rll = np.uint32(ratio_lo & 0xFFFFFFFF)
+    return barrett_reduce96_w(x2, x1, x0, qh, ql, rhh, rhl, rlh, rll)
+
+
+def barrett_reduce96_w(x2, x1, x0, qh, ql, rhh, rhl, rlh, rll):
+    """barrett_reduce96 with the modulus/ratio pre-split into u32 words —
+    the words may be traced scalars (limb-sharded meshes feed per-device
+    constants at runtime; parallel/sharded.py)."""
     # Round 1: carry = mulhi64(lo, ratio_lo)
     ch, cl = mulhi64(x1, x0, rlh, rll)
     # t2 = lo * ratio_hi (full 128: hi pair + lo pair)

@@ -186,6 +186,8 @@ def make_sharded_pipeline(
     mesh: Mesh,
     db_shoup=None,
     reply_limbs: int | None = None,
+    db_planes=None,
+    interpret: bool | None = None,
 ):
     """Jitted multi-query pipeline: (query_cts, galois_keys) -> replies.
 
@@ -198,6 +200,14 @@ def make_sharded_pipeline(
     Galois keys, the DB, and all per-limb tables is sharded across it
     (see module docstring); reply_limbs is unsupported in that layout
     (mod-switch needs cross-limb CRT state).
+
+    db_planes: the (hi, lo) inner-grouped planes of the NTT database
+    ([prefix, L, inner, N], pallas_scan.split_planes) — switches every
+    contraction to the Pallas raw-accumulation kernel, exactly like the
+    single-chip fast path (PirDatabase._use_planes).  The prefix axis is
+    sharded over "db" (first hypercube dimension outermost), the L axis
+    over "limb".  `interpret` forces the kernel's interpret mode (defaults
+    to True off-TPU so CPU-mesh tests execute the same code path).
     """
     dim_sum = sum(dims)
     d0 = dims[0]
@@ -211,6 +221,8 @@ def make_sharded_pipeline(
             )
         if reply_limbs is not None:
             raise ValueError("reply_limbs is unsupported with limb sharding")
+    if interpret is None:
+        interpret = jax.default_backend() != "tpu"
 
     def _ax(name):
         return name if name in mesh.axis_names else None
@@ -220,29 +232,54 @@ def make_sharded_pipeline(
     block = 1
     for d in dims[1:]:
         block *= d
+    inner = dims[-1]
+    middle = block // inner if len(dims) > 1 else 1  # prod(dims[1:-1])
+    # d == 1: D0 is the contraction axis of the planes ([1, L, D0, N]) —
+    # the db mesh axis splits axis 2; d > 1: prefix rows are D0-major, so
+    # padding to d0p*middle rows appends whole zero D0-blocks and the db
+    # axis splits axis 0 into contiguous per-device row blocks.
+    plane_db_axis = 2 if len(dims) == 1 else 0
 
-    db_blocks = pad_axis(
-        jnp.asarray(db_ntt).reshape(d0, block, ctx.L, ctx.n), 0, n_db
-    )
-    shoup_blocks = (
-        pad_axis(
-            jnp.asarray(db_shoup).reshape(d0, block, ctx.L, ctx.n), 0, n_db
+    if db_planes is not None:
+        ph, plo = db_planes
+        pad_mult = n_db if len(dims) == 1 else n_db * middle
+        plane_h = pad_axis(jnp.asarray(ph), plane_db_axis, pad_mult)
+        plane_l = pad_axis(jnp.asarray(plo), plane_db_axis, pad_mult)
+        db_blocks = jnp.zeros((n_db, 1, ctx.L, ctx.n), jnp.uint64)
+        shoup_blocks = db_blocks
+    else:
+        plane_h = plane_l = None
+        db_blocks = pad_axis(
+            jnp.asarray(db_ntt).reshape(d0, block, ctx.L, ctx.n), 0, n_db
         )
-        if db_shoup is not None
-        else jnp.zeros_like(db_blocks)
-    )
+        shoup_blocks = (
+            pad_axis(
+                jnp.asarray(db_shoup).reshape(d0, block, ctx.L, ctx.n), 0, n_db
+            )
+            if db_shoup is not None
+            else jnp.zeros_like(db_blocks)
+        )
     have_shoup = db_shoup is not None
+    have_planes = db_planes is not None
 
     limb_tabs = _limb_tables(ctx) if n_limb > 1 else {}
 
-    def shard_body(query_local, gk, db_local, shoup_local, tabs):
+    def shard_body(query_local, gk, db_local, shoup_local, ph_l, pl_l, tabs):
         # query_local: [Q/S_b, num_cts, 2, L/S_l, N]
         # db_local:    [D0p/S_db, B, L/S_l, N]
+        # ph_l/pl_l:   [D0p/S_db * middle, L/S_l, inner, N] planes
         cx = _LimbShardView(ctx, tabs, "limb") if n_limb > 1 else ctx
-        db_flat = db_local.reshape(-1, *db_local.shape[2:])
-        shoup_flat = (
-            shoup_local.reshape(-1, *shoup_local.shape[2:]) if have_shoup else None
-        )
+        if have_planes:
+            db_flat = shoup_flat = None
+            planes_local = (ph_l, pl_l)
+        else:
+            db_flat = db_local.reshape(-1, *db_local.shape[2:])
+            shoup_flat = (
+                shoup_local.reshape(-1, *shoup_local.shape[2:])
+                if have_shoup
+                else None
+            )
+            planes_local = None
         my_db = jax.lax.axis_index("db") if "db" in mesh.axis_names else 0
 
         def one_query(query_cts):
@@ -254,7 +291,8 @@ def make_sharded_pipeline(
             )
             sv_local = jnp.concatenate([sv0_local, sv_ntt[d0:]], axis=0)
             partial = scan.database_scan_decomp(
-                cx, db_flat, local_dims, sv_local, shoup_flat
+                cx, db_flat, local_dims, sv_local, shoup_flat,
+                db_planes=planes_local, interpret=interpret,
             )
             # cross-shard homomorphic add: reduced summands, exact u64 psum
             if "db" in mesh.axis_names:
@@ -271,6 +309,10 @@ def make_sharded_pipeline(
         return jax.vmap(one_query)(query_local)
 
     limb = _ax("limb")
+    if plane_db_axis == 0:
+        plane_spec = P(_ax("db"), limb, None, None)
+    else:
+        plane_spec = P(None, limb, _ax("db"), None)
     mapped = jax.shard_map(
         shard_body,
         mesh=mesh,
@@ -279,13 +321,21 @@ def make_sharded_pipeline(
             P(limb),
             P(_ax("db"), None, limb, None),
             P(_ax("db"), None, limb, None),
+            plane_spec,
+            plane_spec,
             P(limb),
         ),
         out_specs=P(_ax("batch"), None, None, limb, None),
         check_vma=False,
     )
 
+    if plane_h is None:
+        # zero-row placeholders keep the arg structure static for jit
+        plane_h = jnp.zeros((n_db, n_limb, 1, ctx.n), jnp.uint8)
+        plane_l = jnp.zeros((n_db, n_limb, 1, ctx.n), jnp.uint32)
+
     def pipeline(query_cts, gk):
-        return mapped(query_cts, gk, db_blocks, shoup_blocks, limb_tabs)
+        return mapped(query_cts, gk, db_blocks, shoup_blocks,
+                      plane_h, plane_l, limb_tabs)
 
     return jax.jit(pipeline)

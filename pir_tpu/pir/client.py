@@ -34,10 +34,26 @@ class PirClient:
         params: PirParams,
         seed: Optional[int] = None,
         compress_queries: bool = False,
+        wire_format: str = "native",
     ):
         """compress_queries: serialize query ciphertexts in seeded
         symmetric form (c0 + 16-byte PRG seed, PTS1 codec) — half the
-        upload bytes; the server re-expands them transparently."""
+        upload bytes; the server re-expands them transparently.
+
+        wire_format: "native" (PTP1, the default) or "seal" — every bytes
+        field this client emits (query ciphertexts, Galois keys, relin
+        keys) becomes a SEAL 3.5 stream, matching what the reference's
+        PIRClient puts on the wire (client.cpp:50-54,136-140 via
+        serialization.h:81-138).  SEAL mode implies full public-key query
+        ciphertexts (the reference has no seeded-query compression)."""
+        if wire_format not in ("native", "seal"):
+            raise ValueError(f"unknown wire format {wire_format!r}")
+        if wire_format == "seal" and compress_queries:
+            raise ValueError(
+                "seeded query compression is a native-codec extension; "
+                "SEAL wire mode sends full ciphertexts"
+            )
+        self.wire_format = wire_format
         self.compress_queries = compress_queries
         self.params = params
         self.ctx = PirContext(params)
@@ -51,8 +67,13 @@ class PirClient:
             )
             self.relin_keys = keys_mod.gen_relin_key(self.ctx, self.sk, self._rng)
         # cache the serialized evaluation keys once (client.cpp:50-54)
-        self._galois_bytes = wire.serialize_galois_keys(self.galois_keys)
-        self._relin_bytes = wire.serialize_relin_keys(self.relin_keys)
+        seal_ep = params.encryption_params if wire_format == "seal" else None
+        self._galois_bytes = wire.serialize_galois_keys(
+            self.galois_keys, seal_ep=seal_ep, n=self.ctx.n
+        )
+        self._relin_bytes = wire.serialize_relin_keys(
+            self.relin_keys, seal_ep=seal_ep
+        )
 
     @classmethod
     def create(cls, params: PirParams, seed: Optional[int] = None) -> "PirClient":
@@ -69,6 +90,15 @@ class PirClient:
             req.relin_keys = self._relin_bytes
             return req
         queries = [self._create_query(i) for i in indexes]
+        if self.wire_format == "seal":
+            req = pb.Request()
+            for q in queries:
+                wire.save_ciphertexts(
+                    q, req.query.add(), seal_ep=self.params.encryption_params
+                )
+            req.galois_keys = self._galois_bytes
+            req.relin_keys = self._relin_bytes
+            return req
         return wire.save_request(queries, self._galois_bytes, self._relin_bytes)
 
     def _query_plaintexts(self, desired_index: int) -> list[np.ndarray]:
@@ -161,7 +191,7 @@ class PirClient:
         return self._process_reply_decomp(reply)
 
     def _process_reply_ct_mult(self, reply: pb.Ciphertexts) -> np.ndarray:
-        cts = wire.load_ciphertexts(reply)
+        cts = wire.load_ciphertexts(reply, self.ctx)
         if cts.shape[0] != 1:
             raise ValueError(
                 "number of ciphertexts in reply must be 1 when using CT "
@@ -175,7 +205,7 @@ class PirClient:
         exp_ratio = decompose.expansion_ratio(self.ctx) * 2
         num_dims = len(self.params.dimensions)
         expected = exp_ratio ** (num_dims - 1)
-        cts = wire.load_ciphertexts(reply)
+        cts = wire.load_ciphertexts(reply, self.ctx)
         if cts.shape[0] != expected:
             raise ValueError(
                 "number of ciphertexts in reply does not match expected"

@@ -249,12 +249,26 @@ def blake2xb(data: bytes, out_len: int) -> bytes:
     return out
 
 
-def parms_id_for(ep: EncryptionParams) -> tuple[int, int, int, int]:
+def parms_id_for(
+    ep: EncryptionParams, level_limbs: "int | None" = None
+) -> tuple[int, int, int, int]:
     """SEAL parms_id: blake2xb-256 of the packed u64 parameter words
     (scheme, degree, coeff moduli, plain modulus) —
-    EncryptionParameters::compute_parms_id semantics."""
+    EncryptionParameters::compute_parms_id semantics.
+
+    level_limbs selects the SEALContext chain level: the key level hashes
+    the full modulus chain (level_limbs=None), while a data-level object
+    with L limbs hashes only the first L primes (SEALContext drops one
+    prime per chain step, special prime first — data-level ciphertexts on
+    the wire carry the L-prime level's id, not the key level's).
+    """
+    moduli = ep.coeff_modulus
+    if level_limbs is not None:
+        if not 1 <= level_limbs <= len(moduli):
+            raise ValueError("level_limbs outside the modulus chain")
+        moduli = moduli[:level_limbs]
     words = [SCHEME_BFV, ep.poly_modulus_degree]
-    words += [int(m) for m in ep.coeff_modulus]
+    words += [int(m) for m in moduli]
     words += [ep.plain_modulus]
     digest = blake2xb(struct.pack(f"<{len(words)}Q", *words), 32)
     return struct.unpack("<4Q", digest)
@@ -277,7 +291,9 @@ def _ct_payload(ct: np.ndarray, ep: EncryptionParams, is_ntt: bool) -> bytes:
     if ct.ndim != 3:
         raise ValueError("ciphertext must be [size, L, N]")
     size, L, n = ct.shape
-    payload = struct.pack("<4Q", *parms_id_for(ep))
+    # a ct with L limbs lives at the L-prime chain level; key-level objects
+    # (L == full chain) naturally hash the whole chain
+    payload = struct.pack("<4Q", *parms_id_for(ep, int(L)))
     payload += struct.pack("<B", 1 if is_ntt else 0)
     payload += struct.pack("<QQQ", size, n, L)
     payload += struct.pack("<Q", size * L * n)
@@ -300,14 +316,16 @@ def load_ciphertext(b: bytes, ep: EncryptionParams) -> np.ndarray:
     off = 16
     pid = struct.unpack_from("<4Q", b, off)
     off += 32
-    if tuple(pid) != tuple(parms_id_for(ep)):
-        raise ValueError("ciphertext parms_id does not match the parameters")
     (is_ntt,) = struct.unpack_from("<B", b, off)
     off += 1
     size, n, L = struct.unpack_from("<QQQ", b, off)
     off += 24
     (words,) = struct.unpack_from("<Q", b, off)
     off += 8
+    if not 1 <= L <= len(ep.coeff_modulus):
+        raise ValueError("ciphertext limb count outside the modulus chain")
+    if tuple(pid) != tuple(parms_id_for(ep, int(L))):
+        raise ValueError("ciphertext parms_id does not match the parameters")
     if words != size * L * n:
         raise ValueError("ciphertext data length mismatch")
     data = np.frombuffer(b, dtype="<u8", offset=off, count=words)

@@ -35,6 +35,7 @@ class PirServer:
         params: PirParams,
         reply_limbs: Optional[int] = None,
         packed_transfer: bool = True,
+        wire_format: str = "auto",
     ):
         """reply_limbs: if set, mod-switch reply ciphertexts down to this
         many RNS limbs before serialization (ops/modswitch.py) — shrinks
@@ -44,7 +45,16 @@ class PirServer:
 
         packed_transfer: move query/reply arrays across the host<->device
         link as (u32 lo, u8/u16 hi) pairs instead of u64 (ops/packing.py)
-        — bit-identical values, 25-37.5% fewer transfer bytes."""
+        — bit-identical values, 25-37.5% fewer transfer bytes.
+
+        wire_format: reply serialization — "native" (PTP1), "seal" (SEAL
+        3.5 Ciphertext streams, serialization.h:81-98 parity), or "auto"
+        (default): echo the format the request's query ciphertexts arrived
+        in, so a reference client talking SEAL streams gets SEAL streams
+        back without configuration."""
+        if wire_format not in ("auto", "native", "seal"):
+            raise ValueError(f"unknown wire format {wire_format!r}")
+        self.wire_format = wire_format
         if params.num_pt != db.size:
             raise ValueError("database size mismatch")
         if reply_limbs is not None and not (
@@ -191,6 +201,21 @@ class PirServer:
         self._key_cache[digest] = (gk_arrays, rk)
         return gk_arrays, rk
 
+    def _reply_seal_ep(self, request: pb.Request):
+        """The reply codec for this request: SEAL emit iff configured, or
+        (in "auto" mode) iff the query ciphertexts arrived as SEAL streams."""
+        from pir_tpu.pir import seal_compat
+
+        mode = self.wire_format
+        if mode == "auto":
+            is_seal = any(
+                seal_compat.looks_like_seal_stream(q.ct[0])
+                for q in request.query
+                if len(q.ct)
+            )
+            mode = "seal" if is_seal else "native"
+        return self.params.encryption_params if mode == "seal" else None
+
     def process_request(self, request: pb.Request) -> pb.Response:
         gk_arrays, rk = self._device_keys(request)
         if self.params.use_ciphertext_multiplication and rk is None and len(
@@ -200,11 +225,12 @@ class PirServer:
                 "ciphertext-multiplication mode with d > 1 requires "
                 "relinearization keys in the request"
             )
+        seal_ep = self._reply_seal_ep(request)
         response = pb.Response()
         for query in request.query:
             cts = wire.load_ciphertexts(query, self.ctx)
             reply = self._run_query(cts, gk_arrays, rk)
-            wire.save_ciphertexts(reply, response.reply.add())
+            wire.save_ciphertexts(reply, response.reply.add(), seal_ep=seal_ep)
         return response
 
     # ------------------------------------------------------------------
@@ -256,6 +282,7 @@ class PirServer:
         true for same-params clients).  Decomposition mode only.
         """
         gk_arrays, rk = self._device_keys(request)
+        seal_ep = self._reply_seal_ep(request)
         stacks = [wire.load_ciphertexts(q, self.ctx) for q in request.query]
         if len({s.shape for s in stacks}) != 1:
             return self.process_request(request)
@@ -283,7 +310,9 @@ class PirServer:
                     )
                 )
             for qi in range(replies.shape[0]):
-                wire.save_ciphertexts(replies[qi], response.reply.add())
+                wire.save_ciphertexts(
+                    replies[qi], response.reply.add(), seal_ep=seal_ep
+                )
         return response
 
     # ------------------------------------------------------------------

@@ -53,14 +53,26 @@ def unpack_array(b: bytes) -> np.ndarray:
 _SEEDED_MAGIC = b"PTS1"
 
 
-def save_ciphertexts(cts, msg: pb.Ciphertexts | None = None) -> pb.Ciphertexts:
-    """cts: iterable of u64[size, L, N] arrays (or one stacked [k, size, L, N])."""
+def save_ciphertexts(
+    cts, msg: pb.Ciphertexts | None = None, seal_ep: EncryptionParams | None = None
+) -> pb.Ciphertexts:
+    """cts: iterable of u64[size, L, N] arrays (or one stacked [k, size, L, N]).
+
+    seal_ep: when given, every entry is emitted as a SEAL 3.5 Ciphertext
+    stream (pir/cpp/serialization.h:81-98 contract) instead of the native
+    PTP1 codec — the reference binary can then parse the bytes directly.
+    """
     out = msg if msg is not None else pb.Ciphertexts()
     arr = np.asarray(cts)
     if arr.ndim == 3:
         arr = arr[None]
     for i in range(arr.shape[0]):
-        out.ct.append(pack_array(arr[i]))
+        if seal_ep is not None:
+            from pir_tpu.pir import seal_compat
+
+            out.ct.append(seal_compat.save_ciphertext(arr[i], seal_ep))
+        else:
+            out.ct.append(pack_array(arr[i]))
     return out
 
 
@@ -122,7 +134,17 @@ def load_ciphertexts(msg: pb.Ciphertexts, ctx=None) -> np.ndarray:
 # ---------------------------------------------------------------------------
 
 
-def serialize_galois_keys(gk: GaloisKeys) -> bytes:
+def serialize_galois_keys(
+    gk: GaloisKeys, seal_ep: EncryptionParams | None = None, n: int | None = None
+) -> bytes:
+    if seal_ep is not None:
+        from pir_tpu.pir import seal_compat
+
+        if n is None:
+            n = seal_ep.poly_modulus_degree
+        return seal_compat.save_kswitch_keys(
+            seal_compat.galois_rows_from_dict(gk.keys, n), seal_ep
+        )
     elts = sorted(gk.keys)
     blob = struct.pack("<I", len(elts))
     for e in elts:
@@ -158,7 +180,16 @@ def deserialize_galois_keys(b: bytes, ep=None) -> GaloisKeys:
     return GaloisKeys(keys=keys)
 
 
-def serialize_relin_keys(rk: RelinKeys) -> bytes:
+def serialize_relin_keys(
+    rk: RelinKeys, seal_ep: EncryptionParams | None = None
+) -> bytes:
+    if seal_ep is not None:
+        from pir_tpu.pir import seal_compat
+
+        data = np.asarray(rk.key.data)  # [L, 2, Lp, N]
+        return seal_compat.save_kswitch_keys(
+            [[data[i] for i in range(data.shape[0])]], seal_ep
+        )
     return pack_array(np.asarray(rk.key.data))
 
 
@@ -182,7 +213,11 @@ def deserialize_relin_keys(b: bytes, ep=None) -> RelinKeys:
 # ---------------------------------------------------------------------------
 
 
-def serialize_encryption_params(ep: EncryptionParams) -> bytes:
+def serialize_encryption_params(ep: EncryptionParams, seal: bool = False) -> bytes:
+    if seal:
+        from pir_tpu.pir import seal_compat
+
+        return seal_compat.save_encryption_params(ep)
     return b"PTPE" + json.dumps(ep.to_dict(), sort_keys=True).encode()
 
 
@@ -203,12 +238,19 @@ def deserialize_encryption_params_any(b: bytes) -> EncryptionParams:
     raise ValueError("unrecognized encryption-parameters encoding")
 
 
-def pir_params_to_proto(p: PirParams) -> pb.PIRParameters:
+def pir_params_to_proto(p: PirParams, wire_format: str = "native") -> pb.PIRParameters:
+    """wire_format="seal" serializes the embedded encryption parameters as
+    a SEAL 3.5 stream (parameters.cpp:99-100 parity) so the proto is
+    consumable by the reference binary."""
+    if wire_format not in ("native", "seal"):
+        raise ValueError(f"unknown wire format {wire_format!r}")
     msg = pb.PIRParameters()
     msg.num_items = p.num_items
     msg.num_pt = p.num_pt
     msg.dimensions.extend(p.dimensions)
-    msg.encryption_parameters = serialize_encryption_params(p.encryption_params)
+    msg.encryption_parameters = serialize_encryption_params(
+        p.encryption_params, seal=wire_format == "seal"
+    )
     msg.bytes_per_item = p.bytes_per_item
     msg.items_per_plaintext = p.items_per_plaintext
     msg.bits_per_coeff = p.bits_per_coeff

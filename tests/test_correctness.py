@@ -29,10 +29,10 @@ def _roundtrip_params(dbsize, elem, d, n, t_bits, bpc, use_ct_mult):
     )
 
 
-def _roundtrip(params, desired_indices, seed=42):
+def _roundtrip(params, desired_indices, seed=42, wire_format="native"):
     raw = generate_test_db(params.num_items, params.bytes_per_item, seed)
     db = PirDatabase.create(raw, params)
-    client = PirClient.create(params, seed=7)
+    client = PirClient(params, seed=7, wire_format=wire_format)
     server = PirServer.create(db, params)
 
     request = client.create_request(desired_indices)
@@ -85,16 +85,20 @@ def test_roundtrip_tiny_ct_mult(dbsize, elem, d, n, t_bits, bpc, indices):
     _roundtrip(params, indices)
 
 
-# Reference-config entries (correctness_test.cpp:95-113, both modes).
+# Reference-config entries — the complete 11-tuple matrix of
+# correctness_test.cpp:95-113, both modes, transcribed verbatim.
 REFERENCE_MATRIX = [
     # (use_ct_mult, poly_degree, plain_bits, elem, bpc, dbsize, d, indices)
     (False, 4096, 24, 0, 0, 10, 1, [0]),
     (False, 4096, 24, 0, 10, 9, 2, [1, 5]),
+    (False, 4096, 24, 0, 6, 500, 2, [9, 125]),
     (False, 4096, 24, 64, 10, 1200, 1, [0, 80, 81, 123, 777, 1199]),
     (False, 4096, 24, 289, 10, 1200, 1, [0, 47, 777, 1199]),
     (True, 4096, 24, 0, 0, 10, 1, [0]),
     (True, 4096, 16, 0, 10, 9, 2, [1, 5]),
+    (True, 4096, 16, 0, 6, 500, 2, [9, 125]),
     (True, 4096, 16, 64, 10, 1200, 1, [0, 80, 81, 123, 777, 1199]),
+    (True, 4096, 16, 289, 10, 1200, 1, [0, 47, 777, 1199]),
     (True, 8192, 42, 0, 0, 87, 2, [5, 33, 86]),
 ]
 
@@ -127,6 +131,20 @@ def test_roundtrip_reference_configs(
             assert results[i] == raw[idx]
     else:
         _roundtrip(params, indices)
+
+
+@pytest.mark.parametrize("dbsize,elem,d,n,t_bits,bpc,indices", TINY_MATRIX)
+def test_roundtrip_tiny_seal_wire(dbsize, elem, d, n, t_bits, bpc, indices):
+    """The tiny matrix again with every wire byte a SEAL 3.5 stream."""
+    params = tiny_pir_params(
+        dbsize=dbsize,
+        bytes_per_item=elem,
+        dimensions=d,
+        n=n,
+        t_bits=t_bits,
+        bits_per_coeff=bpc,
+    )
+    _roundtrip(params, indices, wire_format="seal")
 
 
 def test_batched_queries_one_request():

@@ -138,6 +138,69 @@ def test_limb_sharded_end_to_end_decode():
         assert out[i] == raw[idx]
 
 
+def _planes_of(db):
+    """The Pallas-scan operand planes for a database (what
+    PirDatabase._finalize builds when scan_impl="pallas")."""
+    from pir_tpu.ops import pallas_scan
+
+    inner = db.params.dimensions[-1]
+    prefix = db.padded_size // inner
+    grouped = jnp.asarray(db.db_ntt).reshape(prefix, inner, db.ctx.L, db.ctx.n)
+    return pallas_scan.split_planes(
+        jnp.transpose(grouped, (0, 2, 1, 3)), db.ctx.ct_moduli
+    )
+
+
+@pytest.mark.parametrize("d,batch", [(1, 1), (2, 2), (3, 2)])
+def test_sharded_planes_matches_unsharded(d, batch):
+    """The Pallas raw-accumulation kernel (interpret mode on the CPU mesh)
+    under db x batch sharding is bit-exact vs the unsharded XLA path."""
+    params, raw, db, client, server = _setup(d)
+    mesh = sharded.default_mesh(batch=batch)
+    indices = [3, 17, 29, 11][: 2 * batch] or [3]
+    queries = [client._create_query(i) for i in indices]
+    q = sharded.pad_axis(jnp.asarray(np.stack(queries)), 0, mesh.shape["batch"])
+    gk = {e: jnp.asarray(k.data) for e, k in client.galois_keys.keys.items()}
+
+    pipeline = sharded.make_sharded_pipeline(
+        db.ctx, params.dimensions, None, mesh, db_planes=_planes_of(db)
+    )
+    replies = pipeline(q, gk)
+    for qi in range(len(indices)):
+        single = server._pipeline(queries[qi].shape[0])(
+            jnp.asarray(queries[qi]), gk, None, db.db_ntt, db.db_ntt_shoup
+        )
+        assert (np.asarray(replies[qi]) == np.asarray(single)).all(), qi
+
+
+@pytest.mark.parametrize("limb,q_bits", [(2, (26, 27, 28)), (2, (26, 34, 36))])
+def test_limb_sharded_planes_matches_unsharded(limb, q_bits):
+    """Limb-sharded mesh with the runtime-constants Pallas kernel
+    (contract_dim_raw_dyn): per-device moduli arrive as traced SMEM words."""
+    params = tiny_pir_params(
+        dbsize=30, bytes_per_item=8, dimensions=2, n=64, q_bits=q_bits
+    )
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    server = PirServer.create(db, params)
+    mesh = sharded.default_mesh(batch=1, limb=limb)
+    indices = [3, 29]
+    queries = [client._create_query(i) for i in indices]
+    q = jnp.asarray(np.stack(queries))
+    gk = {e: jnp.asarray(k.data) for e, k in client.galois_keys.keys.items()}
+
+    pipeline = sharded.make_sharded_pipeline(
+        db.ctx, params.dimensions, None, mesh, db_planes=_planes_of(db)
+    )
+    replies = pipeline(q, gk)
+    for qi in range(len(indices)):
+        single = server._pipeline(queries[qi].shape[0])(
+            jnp.asarray(queries[qi]), gk, None, db.db_ntt, db.db_ntt_shoup
+        )
+        assert (np.asarray(replies[qi]) == np.asarray(single)).all(), qi
+
+
 def test_limb_mesh_rejects_bad_widths():
     params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
     raw = generate_test_db(30, params.bytes_per_item)
