@@ -60,14 +60,19 @@ def _log(msg: str) -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Persistent XLA compilation cache: repeated runs (retries, the
-    driver's run after a builder session) skip the multi-minute compile."""
+    """Optional persistent XLA compilation cache (PIR_JAX_CACHE=<dir>).
+
+    Opt-in only: through the axon remote-compile path the cache also
+    stores client-side CPU AOT executables compiled on the remote host,
+    and reloading those on a different CPU risks SIGILL (observed machine-
+    feature mismatch warnings).  The split-stage server pipeline keeps
+    cold compiles short enough that the cache is not needed."""
     import jax
 
+    cache_dir = os.environ.get("PIR_JAX_CACHE")
+    if not cache_dir:
+        return
     try:
-        cache_dir = os.environ.get(
-            "PIR_JAX_CACHE", str(REPO / "benchmarks" / ".jax_cache")
-        )
         pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
         jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
@@ -244,6 +249,11 @@ def main():
         return
 
     if args.accel_child:
+        # SIGUSR1 dumps all thread stacks (diagnosing wedged remote compiles)
+        import faulthandler
+        import signal
+
+        faulthandler.register(signal.SIGUSR1, file=sys.stderr)
         # register the CPU backend next to the TPU so client-side
         # keygen/encrypt run locally, not through remote compile
         import jax

@@ -4,12 +4,26 @@ field-arithmetic kernel profiled to speed-of-light per chip").
 Measures on the current default backend:
   * negacyclic NTT throughput (batched, the DB-scan shape),
   * pointwise Barrett / Shoup modmul throughput,
+  * the Pallas raw-accumulation DB-scan MAC kernel,
   * key-switch throughput (the expansion hot op).
 
-Prints one JSON line per kernel with achieved vs. theoretical ceilings.
-The v5e ceiling model: u64 lane math lowers to u32 ops on the VPU
-(8x128 lanes, ~940 GOP/s int32 per core); a Shoup modmul is ~18 u32
-multiplies + ~20 auxiliary ops, a Barrett modmul ~57 + ~40.
+Prints one JSON line per kernel including the speed-of-light ceiling and
+the achieved fraction on TPU backends (`ceiling_*`, `achieved_fraction`).
+
+Ceiling model (documented, explicit):  u64 lane math lowers to u32 VPU
+ops; the chip's int32 lane rate is VPU_GOPS (v5e: 8x128 lanes — ~940
+G int32 ops/s/core sustained).  Each kernel's per-element u32-op budget
+(OP_BUDGET) counts hardware 32-bit multiplies via their 16-bit-half
+decomposition (a 32x32->64 product = 4 muls + 4 carries) plus
+adds/compares/selects:
+
+  * Shoup 64-bit modmul: mulhi64 (16) + two 64-bit low muls (12) +
+    corrections ~= 28 muls + 30 aux -> 58 ops.
+  * Barrett 64x64 modmul: mul64_wide (16) + barrett128 (two mulhi + one
+    low mul + carries) ~= 44 muls + 53 aux -> 97 ops.
+  * NTT butterfly: one Shoup modmul + modadd + modsub -> 70 ops.
+  * Raw-accumulation scan MAC (moduli < 2^48): 9 muls + ~12 adds ->
+    21 ops (Barrett reduction amortized over the contraction).
 
 Run: python benchmarks/kernels.py [--batch B] [--n N]
 """
@@ -20,6 +34,29 @@ import sys
 import time
 
 import numpy as np
+
+# int32 lane throughput per chip (sustained), by backend kind
+VPU_GOPS = {"tpu": 940.0}
+
+# u32 ops per element-op (see module docstring for the derivations)
+OP_BUDGET = {
+    "modmul_shoup": 58.0,
+    "modmul_barrett": 97.0,
+    "ntt_butterfly": 70.0,
+    "scan_mac": 21.0,
+}
+
+
+def _roofline(result: dict, backend: str, rate_key: str, rate: float, budget: str):
+    """Attach ceiling_ops_per_sec + achieved_fraction to a result row."""
+    gops = VPU_GOPS.get(backend)
+    if gops is None:
+        result["ceiling_" + rate_key] = None
+        result["achieved_fraction"] = None
+        return
+    ceiling = gops * 1e9 / OP_BUDGET[budget]
+    result["ceiling_" + rate_key] = round(ceiling, 0)
+    result["achieved_fraction"] = round(rate / ceiling, 4)
 
 
 def bench_op(fn, *args, iters=10):
@@ -79,45 +116,91 @@ def main():
     fwd = jax.jit(tables.forward)
     dt = bench_op(fwd, x, iters=args.iters)
     butterflies = B * L * (N // 2) * int(np.log2(N))
-    results.append(
-        {
-            "kernel": "ntt_forward",
-            "backend": backend,
-            "shape": [B, L, N],
-            "ms": round(dt * 1e3, 3),
-            "ntts_per_sec": round(B * L / dt, 1),
-            "butterflies_per_sec": round(butterflies / dt, 0),
-        }
-    )
+    row = {
+        "kernel": "ntt_forward",
+        "backend": backend,
+        "shape": [B, L, N],
+        "ms": round(dt * 1e3, 3),
+        "ntts_per_sec": round(B * L / dt, 1),
+        "butterflies_per_sec": round(butterflies / dt, 0),
+    }
+    _roofline(row, backend, "butterflies_per_sec", butterflies / dt,
+              "ntt_butterfly")
+    results.append(row)
 
     # modmul -------------------------------------------------------------
     lc = tables.limbs
     y = jnp.asarray(np.asarray(x))
     mul_barrett = jax.jit(lambda a, b: lc.mul(a, b))
     dt = bench_op(mul_barrett, x, y, iters=args.iters)
-    results.append(
-        {
-            "kernel": "modmul_barrett",
-            "backend": backend,
-            "elems": B * L * N,
-            "ms": round(dt * 1e3, 3),
-            "modmuls_per_sec": round(B * L * N / dt, 0),
-        }
-    )
+    row = {
+        "kernel": "modmul_barrett",
+        "backend": backend,
+        "elems": B * L * N,
+        "ms": round(dt * 1e3, 3),
+        "modmuls_per_sec": round(B * L * N / dt, 0),
+    }
+    _roofline(row, backend, "modmuls_per_sec", B * L * N / dt, "modmul_barrett")
+    results.append(row)
     shoup = modular.shoup_precompute(np.asarray(y), np.asarray(lc.q))
     mul_shoup = jax.jit(
         lambda a, w, ws: modular.mul_mod_shoup(a, w, ws, lc.q)
     )
     dt = bench_op(mul_shoup, x, y, jnp.asarray(shoup), iters=args.iters)
-    results.append(
-        {
-            "kernel": "modmul_shoup",
+    row = {
+        "kernel": "modmul_shoup",
+        "backend": backend,
+        "elems": B * L * N,
+        "ms": round(dt * 1e3, 3),
+        "modmuls_per_sec": round(B * L * N / dt, 0),
+    }
+    _roofline(row, backend, "modmuls_per_sec", B * L * N / dt, "modmul_shoup")
+    results.append(row)
+
+    # Pallas raw-accumulation scan MAC (the DB-scan production kernel) ----
+    if max(int(q).bit_length() for q in moduli) <= 48:
+        from pir_tpu.ops import pallas_scan
+
+        D = 128
+        P = max(1, B // 16)
+        sv = jnp.asarray(
+            np.stack(
+                [
+                    rng.integers(0, q, size=(D, 2, N), dtype=np.uint64)
+                    for q in moduli
+                ],
+                axis=2,
+            )
+        )  # [D, 2, L, N]
+        dbp = jnp.asarray(
+            np.stack(
+                [
+                    rng.integers(0, q, size=(P, D, N), dtype=np.uint64)
+                    for q in moduli
+                ],
+                axis=1,
+            )
+        )  # [P, L, D, N]
+        dbh, dbl = pallas_scan.split_planes(dbp, moduli)
+        rh = tuple(int(v) for v in tables.limbs.ratio_hi[:, 0])
+        rl = tuple(int(v) for v in tables.limbs.ratio_lo[:, 0])
+        interp = backend != "tpu"
+        contract = jax.jit(
+            lambda s, h, l: pallas_scan.contract_dim_auto(
+                s, h, l, tuple(moduli), rh, rl, interpret=interp
+            )
+        )
+        dt = bench_op(contract, sv, dbh, dbl, iters=args.iters)
+        macs = P * D * 2 * L * N
+        row = {
+            "kernel": "pallas_scan_mac",
             "backend": backend,
-            "elems": B * L * N,
+            "shape": [P, L, D, N],
             "ms": round(dt * 1e3, 3),
-            "modmuls_per_sec": round(B * L * N / dt, 0),
+            "macs_per_sec": round(macs / dt, 0),
         }
-    )
+        _roofline(row, backend, "macs_per_sec", macs / dt, "scan_mac")
+        results.append(row)
 
     # key switch ---------------------------------------------------------
     if len(primes.default_coeff_modulus(N)) < 2:
@@ -151,15 +234,33 @@ def main():
     gkarr = {N + 1: jnp.asarray(gk[N + 1].data)}
     apply_g = jax.jit(lambda c, k: keyswitch.apply_galois(ctx, k, c, N + 1))
     dt = bench_op(apply_g, cts, gkarr, iters=args.iters)
-    results.append(
-        {
-            "kernel": "galois_keyswitch",
-            "backend": backend,
-            "batch": kb,
-            "ms": round(dt * 1e3, 3),
-            "keyswitches_per_sec": round(kb / dt, 1),
-        }
+    # composite op model per key switch (ops/keyswitch.py pipeline):
+    # decompose (L*Lp barrett_reduce_64 ~30 ops) + forward NTT over QP of
+    # the digits + inner product (2*L*Lp barrett modmuls) + inverse NTT of
+    # the two output polys + P scale-down (~96 ops per ct-limb coeff).
+    Lc, Lp, logN = ctx.L, ctx.Lp, int(np.log2(N))
+    ks_ops_per_coeff = (
+        Lc * Lp * 30
+        + (Lc * Lp + 2 * Lp) * (logN / 2) * OP_BUDGET["ntt_butterfly"]
+        + 2 * Lc * Lp * OP_BUDGET["modmul_barrett"]
+        + 2 * Lc * 96
     )
+    row = {
+        "kernel": "galois_keyswitch",
+        "backend": backend,
+        "batch": kb,
+        "ms": round(dt * 1e3, 3),
+        "keyswitches_per_sec": round(kb / dt, 1),
+    }
+    gops = VPU_GOPS.get(backend)
+    if gops is None:
+        row["ceiling_keyswitches_per_sec"] = None
+        row["achieved_fraction"] = None
+    else:
+        ceiling = gops * 1e9 / (ks_ops_per_coeff * N)
+        row["ceiling_keyswitches_per_sec"] = round(ceiling, 1)
+        row["achieved_fraction"] = round(kb / dt / ceiling, 4)
+    results.append(row)
 
     for r in results:
         print(json.dumps(r))

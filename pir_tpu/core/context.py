@@ -30,6 +30,23 @@ class PirContext:
     # sharded over a mesh axis; the base context is always limb-dense.
     limb_axis_name: "str | None" = None
 
+    @classmethod
+    def for_params(cls, params: PirParams) -> "PirContext":
+        """Shared context for a parameter set (process-wide memo).
+
+        Contexts are pure precomputation (tables + jit caches), so every
+        party holding the same ``PirParams`` can share one — preserving
+        the reference's per-party-context *semantics* (each party can
+        always rebuild from the serialized params; SURVEY §1) while
+        skipping redundant twiddle/keyswitch-constant construction and,
+        more importantly, re-jitting identical programs.
+        """
+        ctx = _CONTEXT_CACHE.get(params)
+        if ctx is None:
+            ctx = cls(params)
+            _CONTEXT_CACHE[params] = ctx
+        return ctx
+
     def take_ct_limbs(self, x):
         """Select the ciphertext-level limbs this context owns from a
         full-key-basis array ``[..., Lp, N]``.  Limb-sharded views override
@@ -167,7 +184,10 @@ class PirContext:
         import jax
 
         try:
-            cpu = jax.devices("cpu")[0]
+            # local_devices, not devices: in multi-process mode global
+            # device 0 may belong to another process, and computing onto a
+            # non-addressable device yields arrays this process can't read
+            cpu = jax.local_devices(backend="cpu")[0]
         except RuntimeError:
             cpu = None
         if cpu is None:
@@ -215,3 +235,7 @@ class PirContext:
             for c in range(len(out)):
                 out[c] = (out[c] + int(contrib[c]) * qi) % qbig
         return out
+
+
+# process-wide context memo (see PirContext.for_params)
+_CONTEXT_CACHE: "dict[PirParams, PirContext]" = {}

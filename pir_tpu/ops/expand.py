@@ -24,6 +24,30 @@ from pir_tpu.ops import keyswitch, modular, poly
 from pir_tpu.utils.math import ceil_log2, next_power_two
 
 
+def expand_level(
+    ctx: PirContext, galois_keys, cts: jnp.ndarray, j: int
+) -> jnp.ndarray:
+    """One doubling level of oblivious expansion: u64[B, 2, L, N] ->
+    u64[2B, 2, L, N] (level j uses Galois element N/2^j + 1;
+    server.cpp:120-143).  Exposed separately so the server can jit each
+    level as its own executable — per-level compiles are small and the
+    axon/XLA compile service runs them concurrently, cutting pipeline
+    warmup severalfold vs one monolithic jit (compile time in XLA grows
+    superlinearly with HLO size)."""
+    n = ctx.n
+    q = ctx.limbs_q.q
+    galois_elt = (n >> j) + 1
+    sub = keyswitch.apply_galois(ctx, galois_keys, cts, galois_elt)
+    # new upper half: c·x^{-2^j} + Sub(c)·x^{-(N+2^j)}
+    lower = modular.add_mod(
+        poly.multiply_inverse_power_of_x(ctx, cts, 1 << j),
+        poly.multiply_inverse_power_of_x(ctx, sub, n + (1 << j)),
+        q,
+    )
+    upper = modular.add_mod(cts, sub, q)
+    return jnp.concatenate([upper, lower], axis=0)
+
+
 def expand_single(
     ctx: PirContext, galois_keys, ct: jnp.ndarray, num_items: int
 ) -> jnp.ndarray:
@@ -38,19 +62,9 @@ def expand_single(
     if num_items == 0:
         return ct[jnp.newaxis][:0]
     logm = ceil_log2(num_items)
-    q = ctx.limbs_q.q
     cts = ct[jnp.newaxis]  # [1, 2, L, N]
     for j in range(logm):
-        galois_elt = (n >> j) + 1
-        sub = keyswitch.apply_galois(ctx, galois_keys, cts, galois_elt)
-        # new upper half: c·x^{-2^j} + Sub(c)·x^{-(N+2^j)}
-        lower = modular.add_mod(
-            poly.multiply_inverse_power_of_x(ctx, cts, 1 << j),
-            poly.multiply_inverse_power_of_x(ctx, sub, n + (1 << j)),
-            q,
-        )
-        upper = modular.add_mod(cts, sub, q)
-        cts = jnp.concatenate([upper, lower], axis=0)
+        cts = expand_level(ctx, galois_keys, cts, j)
     assert cts.shape[0] == next_power_two(num_items)
     return cts[:num_items]
 

@@ -44,14 +44,18 @@ from pir_tpu.ops.modular import LimbConstants
 from pir_tpu.ops.ntt import NttTables
 
 
-def pad_axis(arr: jnp.ndarray, axis: int, multiple: int) -> jnp.ndarray:
+def pad_axis(arr, axis: int, multiple: int):
+    """Zero-pad `axis` up to a multiple.  numpy stays numpy (multi-process
+    pipelines bake host arrays into the program as replicated constants —
+    a process-local device array cannot participate in a global mesh)."""
     size = arr.shape[axis]
     target = -(-size // multiple) * multiple
     if target == size:
         return arr
     pad = [(0, 0)] * arr.ndim
     pad[axis] = (0, target - size)
-    return jnp.pad(arr, pad)
+    xp = np if isinstance(arr, np.ndarray) else jnp
+    return xp.pad(arr, pad)
 
 
 def default_mesh(devices=None, batch: int = 1, limb: int = 1) -> Mesh:
@@ -240,24 +244,30 @@ def make_sharded_pipeline(
     # axis splits axis 0 into contiguous per-device row blocks.
     plane_db_axis = 2 if len(dims) == 1 else 0
 
+    # numpy operands stay numpy (replicated program constants — required
+    # for multi-process/DCN meshes); device arrays stay device arrays.
+    def _as_is(x):
+        return np.asarray(x) if isinstance(x, np.ndarray) else jnp.asarray(x)
+
     if db_planes is not None:
         ph, plo = db_planes
         pad_mult = n_db if len(dims) == 1 else n_db * middle
-        plane_h = pad_axis(jnp.asarray(ph), plane_db_axis, pad_mult)
-        plane_l = pad_axis(jnp.asarray(plo), plane_db_axis, pad_mult)
-        db_blocks = jnp.zeros((n_db, 1, ctx.L, ctx.n), jnp.uint64)
+        plane_h = pad_axis(_as_is(ph), plane_db_axis, pad_mult)
+        plane_l = pad_axis(_as_is(plo), plane_db_axis, pad_mult)
+        db_blocks = np.zeros((n_db, 1, ctx.L, ctx.n), np.uint64)
         shoup_blocks = db_blocks
     else:
         plane_h = plane_l = None
+        xp = np if isinstance(db_ntt, np.ndarray) else jnp
         db_blocks = pad_axis(
-            jnp.asarray(db_ntt).reshape(d0, block, ctx.L, ctx.n), 0, n_db
+            _as_is(db_ntt).reshape(d0, block, ctx.L, ctx.n), 0, n_db
         )
         shoup_blocks = (
             pad_axis(
-                jnp.asarray(db_shoup).reshape(d0, block, ctx.L, ctx.n), 0, n_db
+                _as_is(db_shoup).reshape(d0, block, ctx.L, ctx.n), 0, n_db
             )
             if db_shoup is not None
-            else jnp.zeros_like(db_blocks)
+            else xp.zeros_like(db_blocks)
         )
     have_shoup = db_shoup is not None
     have_planes = db_planes is not None
@@ -331,8 +341,8 @@ def make_sharded_pipeline(
 
     if plane_h is None:
         # zero-row placeholders keep the arg structure static for jit
-        plane_h = jnp.zeros((n_db, n_limb, 1, ctx.n), jnp.uint8)
-        plane_l = jnp.zeros((n_db, n_limb, 1, ctx.n), jnp.uint32)
+        plane_h = np.zeros((n_db, n_limb, 1, ctx.n), np.uint8)
+        plane_l = np.zeros((n_db, n_limb, 1, ctx.n), np.uint32)
 
     def pipeline(query_cts, gk):
         return mapped(query_cts, gk, db_blocks, shoup_blocks,

@@ -56,7 +56,7 @@ class PirClient:
         self.wire_format = wire_format
         self.compress_queries = compress_queries
         self.params = params
-        self.ctx = PirContext(params)
+        self.ctx = PirContext.for_params(params)
         self.db = PirDatabase(params)  # index math only, no data
         self._rng = np.random.default_rng(seed)
         with self.ctx.on_host():

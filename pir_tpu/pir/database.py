@@ -41,7 +41,7 @@ def default_scan_impl(moduli) -> str:
 class PirDatabase:
     def __init__(self, params: PirParams, scan_impl: str = "auto"):
         self.params = params
-        self.ctx = PirContext(params)
+        self.ctx = PirContext.for_params(params)
         self.db_pts: Optional[np.ndarray] = None  # u64[num_pt, N] mod t
         self.db_ntt: Optional[jnp.ndarray] = None  # u64[padded, L, N]
         self.db_ntt_shoup: Optional[jnp.ndarray] = None  # Shoup companions

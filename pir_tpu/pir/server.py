@@ -36,6 +36,7 @@ class PirServer:
         reply_limbs: Optional[int] = None,
         packed_transfer: bool = True,
         wire_format: str = "auto",
+        split_pipeline: Optional[bool] = None,
     ):
         """reply_limbs: if set, mod-switch reply ciphertexts down to this
         many RNS limbs before serialization (ops/modswitch.py) — shrinks
@@ -51,10 +52,25 @@ class PirServer:
         3.5 Ciphertext streams, serialization.h:81-98 parity), or "auto"
         (default): echo the format the request's query ciphertexts arrived
         in, so a reference client talking SEAL streams gets SEAL streams
-        back without configuration."""
+        back without configuration.
+
+        split_pipeline: run expansion levels and the scan as separate
+        small executables (precompiled concurrently) instead of one
+        monolithic jit.  Bit-exact either way (identical integer ops,
+        only jit boundaries move); the split cuts first-request compile
+        latency severalfold because XLA optimization time grows
+        superlinearly with HLO size and the per-stage compiles run in
+        parallel.  Default (None): on for accelerator backends, off for
+        CPU (whose monolithic compile is already fast)."""
         if wire_format not in ("auto", "native", "seal"):
             raise ValueError(f"unknown wire format {wire_format!r}")
         self.wire_format = wire_format
+        if split_pipeline is None:
+            import jax
+
+            split_pipeline = jax.default_backend() != "cpu"
+        self.split_pipeline = split_pipeline
+        self._warmed_shapes: set = set()
         if params.num_pt != db.size:
             raise ValueError("database size mismatch")
         if reply_limbs is not None and not (
@@ -159,10 +175,175 @@ class PirServer:
 
         return jax.jit(run)
 
+    # ------------------------------------------------------------------
+    # Split-stage pipeline: per-level expansion executables + one scan
+    # executable, precompiled concurrently (see __init__ docstring).
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=32)
+    def _level_jit(self, j: int):
+        ctx = self.ctx
+
+        def run(cts, gk):
+            return expand.expand_level(ctx, gk, cts, j)
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=2)
+    def _scan_jit(self):
+        """(sv, relin_key, *db_operands) -> reply; sv in coefficient form."""
+        ctx = self.ctx
+        dims = self.params.dimensions
+        keep = self.reply_limbs
+
+        def shrink(reply):
+            if keep is None:
+                return reply
+            from pir_tpu.ops import modswitch
+
+            return modswitch.mod_switch_to(ctx, reply, keep)
+
+        if self.params.use_ciphertext_multiplication:
+
+            def run(sv, relin_key, db_ntt, db_shoup):
+                del db_shoup
+                return shrink(
+                    scan.database_scan_ctmult(ctx, db_ntt, dims, sv, relin_key)
+                )
+
+        elif self.db._use_planes:
+
+            def run(sv, relin_key, db_hi, db_lo):
+                del relin_key
+                sv_ntt = ctx.ntt_q.forward(sv)
+                return shrink(
+                    scan.database_scan_decomp(
+                        ctx, None, dims, sv_ntt, db_planes=(db_hi, db_lo)
+                    )
+                )
+
+        else:
+
+            def run(sv, relin_key, db_ntt, db_shoup):
+                del relin_key
+                sv_ntt = ctx.ntt_q.forward(sv)
+                return shrink(
+                    scan.database_scan_decomp(ctx, db_ntt, dims, sv_ntt, db_shoup)
+                )
+
+        return jax.jit(run)
+
+    def _expand_staged(self, cts_dev, gk_arrays):
+        """expand_query via the per-level executables (bit-exact with
+        expand.expand_query — same ops, different jit boundaries)."""
+        from pir_tpu.utils.math import ceil_log2
+
+        n = self.ctx.n
+        total = self.params.dimensions_sum
+        outs = []
+        remaining = total
+        for i in range(cts_dev.shape[0]):
+            count = min(n, remaining)
+            remaining -= n
+            if count == 0:
+                continue
+            x = cts_dev[i][None]
+            for j in range(ceil_log2(count)):
+                x = self._level_jit(j)(x, gk_arrays)
+            outs.append(x[:count])
+        return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+    def _levels_for(self, num_query_cts: int) -> set:
+        from pir_tpu.utils.math import ceil_log2
+
+        n = self.ctx.n
+        remaining = self.params.dimensions_sum
+        levels = set()
+        for _ in range(num_query_cts):
+            count = min(n, remaining)
+            remaining -= n
+            if count:
+                levels.update(range(ceil_log2(count)))
+        return levels
+
+    @functools.lru_cache(maxsize=2)
+    def _join_jit(self):
+        return jax.jit(packing.join_device)
+
+    @functools.lru_cache(maxsize=2)
+    def _split_jit(self):
+        dt = self._hi_dtype
+        return jax.jit(lambda x: packing.split_device(x, dt))
+
+    def _warm_split(self, num_query_cts: int):
+        """Precompile the stage executables concurrently (the XLA compile
+        service parallelizes across threads; measured ~3x on axon)."""
+        key = ("split", num_query_cts)
+        if key in self._warmed_shapes:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        ctx = self.ctx
+        gk_zero = {
+            e: jnp.zeros((ctx.L, 2, ctx.Lp, ctx.n), jnp.uint64)
+            for e in self._expansion_elts
+        }
+        rk_zero = (
+            jnp.zeros((ctx.L, 2, ctx.Lp, ctx.n), jnp.uint64)
+            if self.params.use_ciphertext_multiplication
+            else None
+        )
+        jobs = []
+        for j in sorted(self._levels_for(num_query_cts)):
+            x = jnp.zeros((1 << j, 2, ctx.L, ctx.n), jnp.uint64)
+            jobs.append((self._level_jit(j), (x, gk_zero)))
+        sv_zero = jnp.zeros(
+            (self.params.dimensions_sum, 2, ctx.L, ctx.n), jnp.uint64
+        )
+        jobs.append((self._scan_jit(), (sv_zero, rk_zero, *self._db_operands())))
+        import os
+
+        workers = int(os.environ.get("PIR_WARM_WORKERS", 8))
+        if workers <= 1:
+            for f, a in jobs:
+                jax.block_until_ready(f(*a))
+        else:
+            with ThreadPoolExecutor(max_workers=workers) as ex:
+                futures = [
+                    ex.submit(lambda f=f, a=a: jax.block_until_ready(f(*a)))
+                    for f, a in jobs
+                ]
+                for fut in futures:
+                    fut.result()
+        # one dummy pass through the staged runner compiles the residual
+        # tiny eager ops (slices/concat) while the big stages hit the cache
+        q_zero = jnp.zeros((num_query_cts, 2, ctx.L, ctx.n), jnp.uint64)
+        sv = self._expand_staged(q_zero, gk_zero)
+        jax.block_until_ready(self._scan_jit()(sv, rk_zero, *self._db_operands()))
+        self._warmed_shapes.add(key)
+
+    def _run_query_split(self, cts, gk_arrays, rk):
+        """One query through the split-stage executables."""
+        import numpy as np
+
+        self._warm_split(cts.shape[0])
+        if self._hi_dtype is not None:
+            lo, hi = packing.split_host(np.asarray(cts), self._hi_dtype)
+            q = self._join_jit()(jnp.asarray(lo), jnp.asarray(hi))
+        else:
+            q = jnp.asarray(cts)
+        sv = self._expand_staged(q, gk_arrays)
+        reply = self._scan_jit()(sv, rk, *self._db_operands())
+        if self._hi_dtype is not None:
+            r_lo, r_hi = self._split_jit()(reply)
+            return packing.join_host(*jax.device_get((r_lo, r_hi)))
+        return jax.device_get(reply)
+
     def _run_query(self, cts, gk_arrays, rk):
         """One query stack (host u64[k, 2, L, N]) -> host u64 reply."""
         import numpy as np
 
+        if self.split_pipeline:
+            return self._run_query_split(cts, gk_arrays, rk)
         if self._hi_dtype is not None:
             lo, hi = packing.split_host(np.asarray(cts), self._hi_dtype)
             r_lo, r_hi = self._pipeline_packed(cts.shape[0])(

@@ -43,7 +43,7 @@ class Toolkit:
 
 
 def make_toolkit(params: PirParams, seed: int = 42, extra_elts=()) -> Toolkit:
-    ctx = PirContext(params)
+    ctx = PirContext.for_params(params)
     rng = np.random.default_rng(seed)
     sk = keys_mod.gen_secret_key(ctx, rng)
     pk = keys_mod.gen_public_key(ctx, sk, rng)

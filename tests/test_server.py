@@ -90,3 +90,41 @@ def test_empty_request(stack):
     req.galois_keys = client._galois_bytes
     resp = server.process_request(req)
     assert len(resp.reply) == 0
+
+
+def test_split_pipeline_bit_exact():
+    """Split-stage executables produce byte-identical replies to the
+    monolithic jit (same integer ops, only jit boundaries move)."""
+    from pir_tpu.testing.fixtures import generate_test_db
+    from pir_tpu.testing.params import tiny_pir_params
+
+    params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    mono = PirServer(db, params, split_pipeline=False)
+    split = PirServer(db, params, split_pipeline=True)
+    req = client.create_request([7, 29])
+    r_mono = mono.process_request(req)
+    r_split = split.process_request(req)
+    assert r_mono.SerializeToString() == r_split.SerializeToString()
+    out = client.process_response([7, 29], r_split)
+    assert out[0] == raw[7] and out[1] == raw[29]
+
+
+def test_split_pipeline_multi_ct_query():
+    """Split pipeline with dim_sum > N (multi-ciphertext queries)."""
+    from pir_tpu.testing.fixtures import generate_test_db
+    from pir_tpu.testing.params import tiny_pir_params
+
+    params = tiny_pir_params(dbsize=90, bytes_per_item=88, dimensions=1, n=64)
+    raw = generate_test_db(90, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    mono = PirServer(db, params, split_pipeline=False)
+    split = PirServer(db, params, split_pipeline=True)
+    req = client.create_request([0, 80, 89])
+    assert (
+        mono.process_request(req).SerializeToString()
+        == split.process_request(req).SerializeToString()
+    )
