@@ -23,11 +23,46 @@ Layout contract used everywhere in this package:
 
 from __future__ import annotations
 
+import contextlib
+import os
+
 import numpy as np
 import jax.numpy as jnp
 
 from pir_tpu.core import primes as primes_mod
 from pir_tpu.ops import modular
+
+# NTT implementation switch.  "xla": the per-stage elementwise formulation
+# below (portable, the bit-exactness reference).  "pallas": the VMEM-staged
+# TPU kernel (ops/pallas_ntt.py; bit-exact, one HBM round-trip instead of
+# log2 N).  "pallas_interpret": the kernel under the Pallas interpreter
+# (CPU-mesh tests).  Server/database hot paths enable "pallas" at trace
+# time via use_impl(); client-side crypto stays on the XLA path (it runs
+# on the host backend, where Mosaic is unavailable).  A module global, not
+# a contextvar: the server warms stage executables from worker threads and
+# the flag must be visible to all of them.
+_IMPL = os.environ.get("PIR_NTT_IMPL", "xla")
+
+
+@contextlib.contextmanager
+def use_impl(impl: str):
+    """Set the NTT implementation for traces entered in this scope."""
+    global _IMPL
+    if impl not in ("xla", "pallas", "pallas_interpret"):
+        raise ValueError(f"unknown NTT impl {impl!r}")
+    prev = _IMPL
+    _IMPL = impl
+    try:
+        yield
+    finally:
+        _IMPL = prev
+
+
+def accel_impl() -> str:
+    """The impl the server-side hot path should trace with right now."""
+    import jax
+
+    return "xla" if jax.default_backend() == "cpu" else "pallas"
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -97,6 +132,14 @@ class NttTables:
     # ------------------------------------------------------------------
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """Coefficient order -> bit-reversed NTT order.  x: u64[..., L, N]."""
+        if _IMPL != "xla":
+            from pir_tpu.ops import pallas_ntt
+
+            if pallas_ntt.supported(self.n):
+                return pallas_ntt.ntt(
+                    self, x, inverse=False,
+                    interpret=_IMPL == "pallas_interpret",
+                )
         n = self.n
         L = len(self.moduli)
         q = self.limbs.q  # [L, 1] -> broadcast below as [L, 1, 1]
@@ -119,6 +162,14 @@ class NttTables:
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         """Bit-reversed NTT order -> coefficient order.  x: u64[..., L, N]."""
+        if _IMPL != "xla":
+            from pir_tpu.ops import pallas_ntt
+
+            if pallas_ntt.supported(self.n):
+                return pallas_ntt.ntt(
+                    self, x, inverse=True,
+                    interpret=_IMPL == "pallas_interpret",
+                )
         n = self.n
         L = len(self.moduli)
         q = self.limbs.q

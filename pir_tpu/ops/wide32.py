@@ -94,6 +94,22 @@ def shoup_mulmod(xh, xl, wh, wl, sh, sl, qh, ql):
     return jnp.where(over, rh2, rh), jnp.where(over, rl2, rl)
 
 
+def addmod64(xh, xl, yh, yl, qh, ql):
+    """(x + y) mod q on pairs; x, y in [0, q), q < 2^63."""
+    sh, sl = add64(xh, xl, yh, yl)
+    over = ge64(sh, sl, qh, ql)
+    rh, rl = sub64(sh, sl, qh, ql)
+    return jnp.where(over, rh, sh), jnp.where(over, rl, sl)
+
+
+def submod64(xh, xl, yh, yl, qh, ql):
+    """(x - y) mod q on pairs; x, y in [0, q)."""
+    ge = ge64(xh, xl, yh, yl)
+    dh, dl = sub64(xh, xl, yh, yl)  # correct when x >= y
+    ah, al = add64(dh, dl, qh, ql)  # wraps back into range when x < y
+    return jnp.where(ge, dh, ah), jnp.where(ge, dl, al)
+
+
 def barrett_reduce64(xh, xl, rhih, rhil, qh, ql):
     """x mod q for x < 2^64, via the high Barrett ratio word (pair)."""
     eh, el = mulhi64(xh, xl, rhih, rhil)
