@@ -340,9 +340,15 @@ def make_sharded_pipeline(
     )
 
     if plane_h is None:
-        # zero-row placeholders keep the arg structure static for jit
-        plane_h = np.zeros((n_db, n_limb, 1, ctx.n), np.uint8)
-        plane_l = np.zeros((n_db, n_limb, 1, ctx.n), np.uint32)
+        # zero-row placeholders keep the arg structure static for jit;
+        # shaped so the axis plane_spec shards is divisible by the mesh
+        ph_shape = (
+            (n_db, n_limb, 1, ctx.n)
+            if plane_db_axis == 0
+            else (1, n_limb, n_db, ctx.n)
+        )
+        plane_h = np.zeros(ph_shape, np.uint8)
+        plane_l = np.zeros(ph_shape, np.uint32)
 
     def pipeline(query_cts, gk):
         return mapped(query_cts, gk, db_blocks, shoup_blocks,
