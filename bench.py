@@ -138,8 +138,32 @@ def measure_qps(db_size: int, max_iters: int, time_cap: float) -> float:
         if time.perf_counter() >= t_end:
             break
     dt = time.perf_counter() - t0
-    _log(f"measured {iters} iters in {dt:.2f}s")
-    return iters / dt
+    _log(f"measured {iters} iters in {dt:.2f}s (sequential)")
+    seq = iters / dt
+
+    # Pipelined serving: up to `depth` requests in flight — the next
+    # query's device work overlaps the previous reply's host readback
+    # (PirServer.process_request_async).  Replies still fully serialized
+    # and checked; this is the server-throughput shape of the same metric.
+    from collections import deque
+
+    depth = 4
+    pend: deque = deque()
+    t0 = time.perf_counter()
+    t_end = t0 + time_cap
+    iters = 0
+    while iters < 2 * max_iters:
+        pend.append(server.process_request_async(request))
+        if len(pend) >= depth:
+            server.finalize_response(pend.popleft())
+        iters += 1
+        if time.perf_counter() >= t_end:
+            break
+    while pend:
+        server.finalize_response(pend.popleft())
+    dt = time.perf_counter() - t0
+    _log(f"measured {iters} iters in {dt:.2f}s (pipelined depth {depth})")
+    return seq, iters / dt
 
 
 def _read_cache() -> dict:
@@ -210,7 +234,8 @@ def _measure_child(db_size: int, iters: int, timeout: float) -> float:
         raise
     sys.stderr.write(out.stderr[-2000:])
     line = [l for l in out.stdout.strip().splitlines() if l.startswith("{")][-1]
-    return json.loads(line)["qps"]
+    parsed = json.loads(line)
+    return parsed["qps"], parsed.get("qps_pipelined", 0.0)
 
 
 def _emit(db_size: int, qps: float, backend_note: str = "") -> None:
@@ -244,7 +269,7 @@ def main():
         import jax
 
         jax.config.update("jax_platforms", "cpu")
-        qps = measure_qps(db_size_env, max(2, args.iters // 2), 120.0)
+        qps, _ = measure_qps(db_size_env, max(2, args.iters // 2), 120.0)
         print(json.dumps({"qps": qps}), flush=True)
         return
 
@@ -264,8 +289,8 @@ def main():
         except Exception:
             # axon plugin absent (e.g. CPU-only run): fall back cleanly
             jax.config.update("jax_platforms", "cpu")
-        qps = measure_qps(db_size_env, args.iters, measure_cap)
-        print(json.dumps({"qps": qps}), flush=True)
+        qps, qps_pipe = measure_qps(db_size_env, args.iters, measure_cap)
+        print(json.dumps({"qps": qps, "qps_pipelined": qps_pipe}), flush=True)
         return
 
     # ---- parent: staged ladder under the hard budget --------------------
@@ -279,11 +304,13 @@ def main():
             continue
         timeout = max(30.0, room)
         try:
-            qps = _measure_child(db_size, args.iters, timeout)
+            qps, qps_pipe = _measure_child(db_size, args.iters, timeout)
         except Exception as exc:
             _log(f"stage db_size={db_size} failed: {type(exc).__name__}")
             continue
         _emit(db_size, qps)
+        if qps_pipe > 0:
+            _emit(db_size, qps_pipe, ", pipelined depth 4")
         got_any = True
 
     if not got_any:

@@ -321,8 +321,8 @@ class PirServer:
         jax.block_until_ready(self._scan_jit()(sv, rk_zero, *self._db_operands()))
         self._warmed_shapes.add(key)
 
-    def _run_query_split(self, cts, gk_arrays, rk):
-        """One query through the split-stage executables."""
+    def _run_query_split_device(self, cts, gk_arrays, rk):
+        """One query through the split-stage executables; device handles."""
         import numpy as np
 
         self._warm_split(cts.shape[0])
@@ -334,27 +334,38 @@ class PirServer:
         sv = self._expand_staged(q, gk_arrays)
         reply = self._scan_jit()(sv, rk, *self._db_operands())
         if self._hi_dtype is not None:
-            r_lo, r_hi = self._split_jit()(reply)
-            return packing.join_host(*jax.device_get((r_lo, r_hi)))
-        return jax.device_get(reply)
+            return self._split_jit()(reply)
+        return reply
 
-    def _run_query(self, cts, gk_arrays, rk):
-        """One query stack (host u64[k, 2, L, N]) -> host u64 reply."""
+    def _run_query_device(self, cts, gk_arrays, rk):
+        """One query stack (host u64[k, 2, L, N]) -> un-fetched device
+        reply (a packed (lo, hi) pair when packed transfer is on).  The
+        dispatch is asynchronous — callers may enqueue further queries
+        before fetching (process_request_async)."""
         import numpy as np
 
         if self.split_pipeline:
-            return self._run_query_split(cts, gk_arrays, rk)
+            return self._run_query_split_device(cts, gk_arrays, rk)
         if self._hi_dtype is not None:
             lo, hi = packing.split_host(np.asarray(cts), self._hi_dtype)
-            r_lo, r_hi = self._pipeline_packed(cts.shape[0])(
+            return self._pipeline_packed(cts.shape[0])(
                 jnp.asarray(lo), jnp.asarray(hi), gk_arrays, rk,
                 *self._db_operands(),
             )
-            return packing.join_host(*jax.device_get((r_lo, r_hi)))
-        reply = self._pipeline(cts.shape[0])(
+        return self._pipeline(cts.shape[0])(
             jnp.asarray(cts), gk_arrays, rk, *self._db_operands()
         )
-        return jax.device_get(reply)
+
+    def _fetch_reply(self, handle):
+        """Device reply handle -> host u64 array (blocks on the transfer)."""
+        if self._hi_dtype is not None:
+            r_lo, r_hi = handle
+            return packing.join_host(*jax.device_get((r_lo, r_hi)))
+        return jax.device_get(handle)
+
+    def _run_query(self, cts, gk_arrays, rk):
+        """One query stack (host u64[k, 2, L, N]) -> host u64 reply."""
+        return self._fetch_reply(self._run_query_device(cts, gk_arrays, rk))
 
     # ------------------------------------------------------------------
     def _device_keys(self, request: pb.Request):
@@ -397,7 +408,15 @@ class PirServer:
             mode = "seal" if is_seal else "native"
         return self.params.encryption_params if mode == "seal" else None
 
-    def process_request(self, request: pb.Request) -> pb.Response:
+    def process_request_async(self, request: pb.Request):
+        """Dispatch a request's device work and return an opaque pending
+        handle without waiting for the reply transfer.  A serving loop can
+        keep several requests in flight (the next request's expansion and
+        scan overlap the previous reply's host readback) — pass the handle
+        to :meth:`finalize_response` to obtain the Response proto.  The
+        reference's serve loop is strictly sequential (server.cpp:60-63);
+        this is the TPU-native throughput shape of the same per-query
+        semantics: replies are bit-identical and completed in order."""
         gk_arrays, rk = self._device_keys(request)
         if self.params.use_ciphertext_multiplication and rk is None and len(
             self.params.dimensions
@@ -407,12 +426,25 @@ class PirServer:
                 "relinearization keys in the request"
             )
         seal_ep = self._reply_seal_ep(request)
+        handles = [
+            self._run_query_device(
+                wire.load_ciphertexts(query, self.ctx), gk_arrays, rk
+            )
+            for query in request.query
+        ]
+        return handles, seal_ep
+
+    def finalize_response(self, pending) -> pb.Response:
+        """Complete a process_request_async handle into a Response."""
+        handles, seal_ep = pending
         response = pb.Response()
-        for query in request.query:
-            cts = wire.load_ciphertexts(query, self.ctx)
-            reply = self._run_query(cts, gk_arrays, rk)
+        for handle in handles:
+            reply = self._fetch_reply(handle)
             wire.save_ciphertexts(reply, response.reply.add(), seal_ep=seal_ep)
         return response
+
+    def process_request(self, request: pb.Request) -> pb.Response:
+        return self.finalize_response(self.process_request_async(request))
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=8)
