@@ -46,7 +46,9 @@ _MARGIN = 10.0
 # is skipped when less than that remains.
 STAGES = (
     {"db_size": 1 << 16, "min_need": 60.0},
-    {"db_size": 1 << 20, "min_need": 150.0},
+    # 1M stage: ~30s DB setup + ~200s cold pipeline compile (per-level
+    # Mosaic kernels) + measurement
+    {"db_size": 1 << 20, "min_need": 280.0},
 )
 
 
@@ -147,7 +149,9 @@ def measure_qps(db_size: int, max_iters: int, time_cap: float) -> float:
     # and checked; this is the server-throughput shape of the same metric.
     from collections import deque
 
-    depth = 4
+    # depth 2 measured best through the in-order tunnel: deeper queues
+    # only delay the reply readbacks behind newer queries' compute
+    depth = 2
     pend: deque = deque()
     t0 = time.perf_counter()
     t_end = t0 + time_cap
@@ -310,7 +314,7 @@ def main():
             continue
         _emit(db_size, qps)
         if qps_pipe > 0:
-            _emit(db_size, qps_pipe, ", pipelined depth 4")
+            _emit(db_size, qps_pipe, ", pipelined depth 2")
         got_any = True
 
     if not got_any:

@@ -124,6 +124,25 @@ class PirContext:
             self.jit_cache[name] = fn
         return fn
 
+    def maybe_jitted(self, name: str, builder, *args):
+        """Run builder() over args — jitted (memoized) for eager callers,
+        inline when already inside a trace.
+
+        Library entry points (expansion, key switching, the scan) are
+        called both from inside the server's compiled pipelines and
+        eagerly from tests / the component-level API; eager op-by-op
+        dispatch of a few thousand tiny XLA ops costs tens of seconds on
+        the CPU backend, so the eager path routes through one compiled
+        executable instead (jax.jit retraces per shape as usual)."""
+        import jax
+
+        if any(
+            isinstance(a, jax.core.Tracer)
+            for a in jax.tree_util.tree_leaves(args)
+        ):
+            return builder()(*args)
+        return self.jitted(name, builder)(*args)
+
     # ------------------------------------------------------------------
     # Permutation tables (Galois automorphisms, negacyclic monomial shifts)
     # ------------------------------------------------------------------

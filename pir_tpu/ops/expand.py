@@ -61,12 +61,21 @@ def expand_single(
         raise ValueError("cannot expand more items from a CT than poly degree")
     if num_items == 0:
         return ct[jnp.newaxis][:0]
-    logm = ceil_log2(num_items)
-    cts = ct[jnp.newaxis]  # [1, 2, L, N]
-    for j in range(logm):
-        cts = expand_level(ctx, galois_keys, cts, j)
-    assert cts.shape[0] == next_power_two(num_items)
-    return cts[:num_items]
+
+    def build():
+        def run(c, gk):
+            logm = ceil_log2(num_items)
+            cts = c[jnp.newaxis]  # [1, 2, L, N]
+            for j in range(logm):
+                cts = expand_level(ctx, gk, cts, j)
+            assert cts.shape[0] == next_power_two(num_items)
+            return cts[:num_items]
+
+        return run
+
+    return ctx.maybe_jitted(
+        f"expand_single_{num_items}", build, ct, galois_keys
+    )
 
 
 def expand_query(

@@ -94,12 +94,21 @@ def apply_galois(ctx: PirContext, galois_keys, ct: jnp.ndarray, galois_elt: int)
     ct: u64[..., 2, L, N] coefficient form.  Semantics of
     PIRServer::substitute_power_x_inplace (pir/cpp/server.cpp:67-76).
     """
-    c0 = poly.galois_transform(ctx, ct[..., 0, :, :], galois_elt)
-    c1 = poly.galois_transform(ctx, ct[..., 1, :, :], galois_elt)
-    k0, k1 = switch_key(ctx, galois_keys[galois_elt], c1)
-    return jnp.stack(
-        [modular.add_mod(c0, k0, ctx.limbs_q.q), k1], axis=-3
-    )
+    key = galois_keys[galois_elt]
+    key = getattr(key, "data", key)  # raw array for the jit boundary
+
+    def build():
+        def run(c, k):
+            c0 = poly.galois_transform(ctx, c[..., 0, :, :], galois_elt)
+            c1 = poly.galois_transform(ctx, c[..., 1, :, :], galois_elt)
+            k0, k1 = switch_key(ctx, k, c1)
+            return jnp.stack(
+                [modular.add_mod(c0, k0, ctx.limbs_q.q), k1], axis=-3
+            )
+
+        return run
+
+    return ctx.maybe_jitted(f"apply_galois_{galois_elt}", build, ct, key)
 
 
 def relinearize(ctx: PirContext, relin_keys, ct3: jnp.ndarray) -> jnp.ndarray:

@@ -113,54 +113,72 @@ def _device_digits(x: jnp.ndarray, ndig: int, dtype) -> jnp.ndarray:
     return jnp.stack(planes, axis=-3)
 
 
+def default_split(n: int) -> tuple[int, int]:
+    """The balanced n1*n2 = N factorization."""
+    n1 = 1 << ((n.bit_length() - 1) // 2)
+    return n1, n // n1
+
+
+def build_matrices(tables, inverse: bool, n1: int, n2: int):
+    """The three four-step constant tensors for any factorization N=n1*n2.
+
+    Returns (m_left u64[L, n1, n1], tw u64[L, n1, n2], m_right
+    u64[L, n2, n2]) per the module-docstring math (bit-reversals folded
+    in; inverse carries n^-1 in m_left).  Host-side, Python pow().
+    """
+    n = tables.n
+    assert n1 * n2 == n
+    log1, log2 = n1.bit_length() - 1, n2.bit_length() - 1
+    rev1 = [_rev_bits(a, log1) for a in range(n1)]
+    rev2 = [_rev_bits(b, log2) for b in range(n2)]
+    moduli = tables.moduli
+    L = len(moduli)
+    two_n = 2 * n
+    m_left = np.zeros((L, n1, n1), dtype=np.uint64)
+    tw = np.zeros((L, n1, n2), dtype=np.uint64)
+    m_right = np.zeros((L, n2, n2), dtype=np.uint64)
+    for li, q in enumerate(moduli):
+        psi = primes_mod.primitive_root_2n(q, two_n)
+        if inverse:
+            psi = pow(psi, -1, q)
+            n_inv = pow(n, -1, q)
+        for a in range(n1):
+            e_a = (2 * rev1[a] + 1) % two_n
+            for i1 in range(n1):
+                exp = (n2 * i1 * e_a) % two_n
+                val = pow(psi, exp, q)
+                if inverse:
+                    # M1i[i1, a] with n^-1 folded in
+                    m_left[li, i1, a] = val * n_inv % q
+                else:
+                    m_left[li, a, i1] = val
+            for i2 in range(n2):
+                tw[li, a, i2] = pow(psi, (e_a * i2) % two_n, q)
+        for i2 in range(n2):
+            for b in range(n2):
+                exp = (2 * n1 * i2 * rev2[b]) % two_n
+                val = pow(psi, exp, q)
+                if inverse:
+                    m_right[li, b, i2] = val  # W2i[jB, i2]
+                else:
+                    m_right[li, i2, b] = val  # W2[i2, jB]
+    return m_left, tw, m_right
+
+
 class _Plan:
     """Precomputed constants for one (tables, direction) pair."""
 
     def __init__(self, tables, inverse: bool):
         n = tables.n
-        log = n.bit_length() - 1
-        n1 = 1 << (log // 2)
-        n2 = n // n1
+        n1, n2 = default_split(n)
         self.n1, self.n2 = n1, n2
-        log1, log2 = n1.bit_length() - 1, n2.bit_length() - 1
-        rev1 = [_rev_bits(a, log1) for a in range(n1)]
-        rev2 = [_rev_bits(b, log2) for b in range(n2)]
         moduli = tables.moduli
-        L = len(moduli)
         max_bits = max(m.bit_length() for m in moduli)
         self.ndig = ndig = _balanced_digit_count(max_bits)
         if ndig * max(n1, n2) * (1 << 14) > (1 << 24):
             raise ValueError("digit-matmul exactness bound exceeded")
 
-        two_n = 2 * n
-        m_left = np.zeros((L, n1, n1), dtype=np.uint64)
-        tw = np.zeros((L, n1, n2), dtype=np.uint64)
-        m_right = np.zeros((L, n2, n2), dtype=np.uint64)
-        for li, q in enumerate(moduli):
-            psi = primes_mod.primitive_root_2n(q, two_n)
-            if inverse:
-                psi = pow(psi, -1, q)
-                n_inv = pow(n, -1, q)
-            for a in range(n1):
-                e_a = (2 * rev1[a] + 1) % two_n
-                for i1 in range(n1):
-                    exp = (n2 * i1 * e_a) % two_n
-                    val = pow(psi, exp, q)
-                    if inverse:
-                        # M1i[i1, a] with n^-1 folded in
-                        m_left[li, i1, a] = val * n_inv % q
-                    else:
-                        m_left[li, a, i1] = val
-                for i2 in range(n2):
-                    tw[li, a, i2] = pow(psi, (e_a * i2) % two_n, q)
-            for i2 in range(n2):
-                for b in range(n2):
-                    exp = (2 * n1 * i2 * rev2[b]) % two_n
-                    val = pow(psi, exp, q)
-                    if inverse:
-                        m_right[li, b, i2] = val  # W2i[jB, i2]
-                    else:
-                        m_right[li, i2, b] = val  # W2[i2, jB]
+        m_left, tw, m_right = build_matrices(tables, inverse, n1, n2)
 
         q_col = tables.limbs.q  # [L, 1]
         q3 = q_col[:, :, None]  # [L, 1, 1]

@@ -34,21 +34,45 @@ from pir_tpu.ops import modular
 
 # NTT implementation switch.  "xla": the per-stage elementwise formulation
 # below (portable, the bit-exactness reference).  "pallas": the VMEM-staged
-# TPU kernel (ops/pallas_ntt.py; bit-exact, one HBM round-trip instead of
-# log2 N).  "pallas_interpret": the kernel under the Pallas interpreter
-# (CPU-mesh tests).  Server/database hot paths enable "pallas" at trace
-# time via use_impl(); client-side crypto stays on the XLA path (it runs
-# on the host backend, where Mosaic is unavailable).  A module global, not
-# a contextvar: the server warms stage executables from worker threads and
-# the flag must be visible to all of them.
-_IMPL = os.environ.get("PIR_NTT_IMPL", "xla")
+# butterfly kernel (ops/pallas_ntt.py; one HBM round-trip instead of
+# log2 N).  "mxu": the fused four-step digit-matmul kernel
+# (ops/pallas_mxu_ntt.py) — the transform's FLOPs ride the systolic array;
+# 2.5-7x the xla path on v5e, the production accel impl.  "*_interpret"
+# variants run the kernels under the Pallas interpreter (CPU-mesh tests).
+# The default "auto" resolves per trace: "mxu" when tracing onto a TPU,
+# "xla" otherwise — so server executables pick up the kernel with no call-
+# site changes while client crypto under ctx.on_host() (jax.default_device
+# CPU scope, where Mosaic is unavailable) stays on the XLA path.  use_impl
+# remains for tests and explicit overrides; it is a module global mutated
+# only by those scopes.
+_IMPL = os.environ.get("PIR_NTT_IMPL", "auto")
+_IMPLS = (
+    "auto", "xla", "pallas", "pallas_interpret", "mxu", "mxu_interpret"
+)
+
+
+def _effective_platform() -> str:
+    """Platform traced-onto right now: honors jax.default_device scopes
+    (ctx.on_host pins client crypto to the CPU backend)."""
+    import jax
+
+    dev = jax.config.jax_default_device
+    if dev is not None:
+        return dev.platform
+    return jax.default_backend()
+
+
+def _resolve_impl() -> str:
+    if _IMPL == "auto":
+        return "mxu" if _effective_platform() == "tpu" else "xla"
+    return _IMPL
 
 
 @contextlib.contextmanager
 def use_impl(impl: str):
     """Set the NTT implementation for traces entered in this scope."""
     global _IMPL
-    if impl not in ("xla", "pallas", "pallas_interpret"):
+    if impl not in _IMPLS:
         raise ValueError(f"unknown NTT impl {impl!r}")
     prev = _IMPL
     _IMPL = impl
@@ -60,9 +84,7 @@ def use_impl(impl: str):
 
 def accel_impl() -> str:
     """The impl the server-side hot path should trace with right now."""
-    import jax
-
-    return "xla" if jax.default_backend() == "cpu" else "pallas"
+    return _resolve_impl()
 
 
 def _bit_reverse_indices(n: int) -> np.ndarray:
@@ -132,13 +154,22 @@ class NttTables:
     # ------------------------------------------------------------------
     def forward(self, x: jnp.ndarray) -> jnp.ndarray:
         """Coefficient order -> bit-reversed NTT order.  x: u64[..., L, N]."""
-        if _IMPL != "xla":
+        impl = _resolve_impl()
+        if impl.startswith("mxu"):
+            from pir_tpu.ops import pallas_mxu_ntt
+
+            if pallas_mxu_ntt.supported(self.n):
+                return pallas_mxu_ntt.ntt(
+                    self, x, inverse=False,
+                    interpret=impl == "mxu_interpret",
+                )
+        elif impl != "xla":
             from pir_tpu.ops import pallas_ntt
 
             if pallas_ntt.supported(self.n):
                 return pallas_ntt.ntt(
                     self, x, inverse=False,
-                    interpret=_IMPL == "pallas_interpret",
+                    interpret=impl == "pallas_interpret",
                 )
         n = self.n
         L = len(self.moduli)
@@ -162,13 +193,22 @@ class NttTables:
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         """Bit-reversed NTT order -> coefficient order.  x: u64[..., L, N]."""
-        if _IMPL != "xla":
+        impl = _resolve_impl()
+        if impl.startswith("mxu"):
+            from pir_tpu.ops import pallas_mxu_ntt
+
+            if pallas_mxu_ntt.supported(self.n):
+                return pallas_mxu_ntt.ntt(
+                    self, x, inverse=True,
+                    interpret=impl == "mxu_interpret",
+                )
+        elif impl != "xla":
             from pir_tpu.ops import pallas_ntt
 
             if pallas_ntt.supported(self.n):
                 return pallas_ntt.ntt(
                     self, x, inverse=True,
-                    interpret=_IMPL == "pallas_interpret",
+                    interpret=impl == "pallas_interpret",
                 )
         n = self.n
         L = len(self.moduli)

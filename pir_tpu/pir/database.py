@@ -242,29 +242,60 @@ class PirDatabase:
                     "ciphertext-multiplication mode with d > 1 requires "
                     "relinearization keys"
                 )
-            return scan.database_scan_ctmult(
-                self.ctx,
-                self.db_ntt,
-                self.params.dimensions,
-                selection_vector,
-                relin_key,
-            )
-        probe = None
-        if decryptor is not None:
+            rk = getattr(relin_key, "key", relin_key)
+            rk = getattr(rk, "data", rk)
 
+            def build():
+                def run(sv, db_ntt, key):
+                    return scan.database_scan_ctmult(
+                        self.ctx, db_ntt, self.params.dimensions, sv, key
+                    )
+
+                return run
+
+            return self.ctx.maybe_jitted(
+                "db_multiply_ctmult", build, selection_vector, self.db_ntt, rk
+            )
+        if decryptor is not None:
+            # noise-budget probe decrypts intermediates: stay eager
             def probe(desc, cts):
                 budgets = [decryptor(cts[i]) for i in range(min(2, cts.shape[0]))]
                 print(f"noise budget after {desc}: {budgets}")
 
-        sv_ntt = self.ctx.ntt_q.forward(selection_vector)
-        return scan.database_scan_decomp(
-            self.ctx,
+            sv_ntt = self.ctx.ntt_q.forward(selection_vector)
+            return scan.database_scan_decomp(
+                self.ctx,
+                self.db_ntt,
+                self.params.dimensions,
+                sv_ntt,
+                self.db_ntt_shoup,
+                probe=probe,
+                db_planes=self.db_planes if self._use_planes else None,
+            )
+
+        use_planes = self._use_planes
+
+        def build():
+            def run(sv, db_ntt, db_shoup, planes):
+                sv_ntt = self.ctx.ntt_q.forward(sv)
+                return scan.database_scan_decomp(
+                    self.ctx,
+                    db_ntt,
+                    self.params.dimensions,
+                    sv_ntt,
+                    db_shoup,
+                    db_planes=planes,
+                )
+
+            return run
+
+        return self.ctx.maybe_jitted(
+            "db_multiply_decomp",
+            build,
+            selection_vector,
             self.db_ntt,
-            self.params.dimensions,
-            sv_ntt,
             self.db_ntt_shoup,
-            probe=probe,
-            db_planes=self.db_planes if self._use_planes else None,
+            self.db_planes if use_planes else None,
         )
 
     # ------------------------------------------------------------------
