@@ -48,7 +48,12 @@ OP_BUDGET = {
 
 
 def _roofline(result: dict, backend: str, rate_key: str, rate: float, budget: str):
-    """Attach ceiling_ops_per_sec + achieved_fraction to a result row."""
+    """Attach ceiling_ops_per_sec + achieved_fraction to a result row.
+
+    Ceilings model the VPU (u32-lane) formulation of each op.  Kernels
+    that route work onto the MXU instead — the four-step digit-matmul NTT
+    and the key switch built on it — can legitimately exceed 1.0: the
+    fraction then reads as speedup over the VPU speed-of-light."""
     gops = VPU_GOPS.get(backend)
     if gops is None:
         result["ceiling_" + rate_key] = None
@@ -59,24 +64,46 @@ def _roofline(result: dict, backend: str, rate_key: str, rate: float, budget: st
     result["achieved_fraction"] = round(rate / ceiling, 4)
 
 
-def bench_op(fn, *args, iters=10):
-    """Chained timing: feed the output back as the first input so the device
-    cannot overlap iterations (async dispatch otherwise under-reports), and
-    force a readback at the end."""
-    import numpy as np
+def _sync(x):
+    """Completion barrier that actually works through remote-dispatch
+    backends: device_get of a one-element slice (block_until_ready can
+    return before remote execution finishes on the axon tunnel, which
+    silently turns warmups and timing fences into no-ops)."""
     import jax
 
-    out = jax.block_until_ready(fn(*args))  # compile + first-exec warmup
+    leaf = jax.tree_util.tree_leaves(x)[0]
+    flat = leaf.reshape(-1)[:1] if getattr(leaf, "ndim", 0) else leaf
+    jax.device_get(flat)
+
+
+def bench_op(fn, *args, iters=10):
+    """Chained timing: feed the output back as the first input so the device
+    cannot overlap iterations, warm until compile is genuinely absorbed,
+    and subtract the fixed sync round-trip measured on a no-op."""
+    out = fn(*args)
+    _sync(out)  # compile + first exec, genuinely awaited
     same_shape = getattr(out, "shape", None) == getattr(args[0], "shape", None)
+    # fixed cost of the sync fence itself (tunnel round trip)
     t0 = time.perf_counter()
-    x = args[0]
-    for _ in range(iters):
-        out = fn(x, *args[1:])
-        if same_shape:
-            x = out
-    jax.block_until_ready(out)
-    np.asarray(jax.tree_util.tree_leaves(out)[0]).ravel()[:1]
-    return (time.perf_counter() - t0) / iters
+    _sync(args[0])
+    fence = time.perf_counter() - t0
+    def run(k):
+        t0 = time.perf_counter()
+        x = args[0]
+        out = None
+        for _ in range(k):
+            out = fn(x, *args[1:])
+            if same_shape:
+                x = out
+        _sync(out)
+        return time.perf_counter() - t0 - fence
+
+    net = run(iters)
+    # cheap ops drown in the fence round trip: rescale until signal > noise
+    while net < 5 * fence and iters < 2000:
+        iters *= 8
+        net = run(iters)
+    return max(net, 1e-9) / iters
 
 
 def main():
@@ -119,6 +146,8 @@ def main():
     row = {
         "kernel": "ntt_forward",
         "backend": backend,
+        "impl": "mxu" if backend == "tpu" else "xla",
+        "ceiling_model": "vpu-butterfly",
         "shape": [B, L, N],
         "ms": round(dt * 1e3, 3),
         "ntts_per_sec": round(B * L / dt, 1),
