@@ -9,11 +9,14 @@ stand-in for the reference's single-CPU SEAL baseline, which cannot be
 built in this zero-egress environment — see BASELINE.md).
 
 Driver contract: prints a JSON result line per completed stage (flush),
-so the LAST stdout line is always the best available measurement even if
-the process is killed mid-upgrade.  The whole run observes a hard
-wall-clock budget (PIR_BENCH_BUDGET seconds, default 480): a fast 65536-
-item stage secures a TPU number first, then the 1M-item headline stage
-runs only if the remaining budget allows.
+and re-prints the headline (largest completed DB) line last, so the LAST
+stdout line is always the best available measurement even if the process
+is killed mid-run.  The whole run observes a hard wall-clock budget
+(PIR_BENCH_BUDGET seconds, default 480): the 1M-item BASELINE headline
+stage runs FIRST (it is the operative target — BASELINE.json "1M-element
+DB"); the smaller 65536-item stage runs after only if budget remains.
+The persistent XLA compile cache (benchmarks/.jax_cache) makes the
+headline's cold-compile cost a once-per-container event.
 
   {"metric": "...", "value": N, "unit": "queries/sec", "vs_baseline": N}
 """
@@ -40,15 +43,13 @@ _DEADLINE = _T0 + BUDGET
 # Margin kept for final printing / parent bookkeeping.
 _MARGIN = 10.0
 
-# Stage ladder: secure a small-DB TPU number quickly, then upgrade to the
-# BASELINE 1M-item headline config.  min_need = conservative wall-time a
-# stage needs end-to-end (setup + first compile + measurement) — the stage
-# is skipped when less than that remains.
+# Stage ladder: the 1M-item BASELINE headline config runs FIRST — it gets
+# the whole budget on a cold compile cache (~30s DB setup + ~200s cold
+# pipeline compile + measurement fits 480s; with the persistent cache warm
+# it is ~90s).  min_need only gates stages after the first number lands.
 STAGES = (
+    {"db_size": 1 << 20, "min_need": 120.0},
     {"db_size": 1 << 16, "min_need": 60.0},
-    # 1M stage: ~30s DB setup + ~200s cold pipeline compile (per-level
-    # Mosaic kernels) + measurement
-    {"db_size": 1 << 20, "min_need": 280.0},
 )
 
 
@@ -62,22 +63,24 @@ def _log(msg: str) -> None:
 
 
 def _enable_compile_cache() -> None:
-    """Optional persistent XLA compilation cache (PIR_JAX_CACHE=<dir>).
+    """Persistent XLA compilation cache, ON by default.
 
-    Opt-in only: through the axon remote-compile path the cache also
-    stores client-side CPU AOT executables compiled on the remote host,
-    and reloading those on a different CPU risks SIGILL (observed machine-
-    feature mismatch warnings).  The split-stage server pipeline keeps
-    cold compiles short enough that the cache is not needed."""
+    Default dir: benchmarks/.jax_cache (gitignored, container-local).
+    Override with PIR_JAX_CACHE=<dir>; disable with PIR_JAX_CACHE="".
+    The min-compile-time floor keeps tiny client-side CPU executables out
+    of the cache — only the multi-second server pipeline stages persist,
+    and those are TPU executables reloaded on the same device, so the
+    cross-CPU AOT SIGILL hazard observed with an unfiltered cache does
+    not apply."""
     import jax
 
-    cache_dir = os.environ.get("PIR_JAX_CACHE")
+    cache_dir = os.environ.get("PIR_JAX_CACHE", str(REPO / "benchmarks" / ".jax_cache"))
     if not cache_dir:
         return
     try:
         pathlib.Path(cache_dir).mkdir(parents=True, exist_ok=True)
         jax.config.update("jax_compilation_cache_dir", cache_dir)
-        jax.config.update("jax_persistent_cache_min_compile_time_secs", 1.0)
+        jax.config.update("jax_persistent_cache_min_compile_time_secs", 2.0)
     except Exception as exc:  # cache is best-effort
         _log(f"compile cache unavailable: {exc}")
 
@@ -242,21 +245,23 @@ def _measure_child(db_size: int, iters: int, timeout: float) -> float:
     return parsed["qps"], parsed.get("qps_pipelined", 0.0)
 
 
+_EMITTED: list = []  # (db_size, json_line) — for the final headline re-print
+
+
 def _emit(db_size: int, qps: float, backend_note: str = "") -> None:
     base = cpu_baseline(db_size)
     vs = qps / base if base > 0 else 0.0
-    print(
-        json.dumps(
-            {
-                "metric": f"server ProcessRequest throughput, {db_size}-item DB, "
-                f"288B items, d=2, N=4096 (decomp mode){backend_note}",
-                "value": round(qps, 4),
-                "unit": "queries/sec",
-                "vs_baseline": round(vs, 3),
-            }
-        ),
-        flush=True,
+    line = json.dumps(
+        {
+            "metric": f"server ProcessRequest throughput, {db_size}-item DB, "
+            f"288B items, d=2, N=4096 (decomp mode){backend_note}",
+            "value": round(qps, 4),
+            "unit": "queries/sec",
+            "vs_baseline": round(vs, 3),
+        }
     )
+    _EMITTED.append((db_size, line))
+    print(line, flush=True)
 
 
 def main():
@@ -320,9 +325,14 @@ def main():
     if not got_any:
         # accelerator unreachable in every stage: record the cached CPU
         # number rather than nothing
-        db_size = STAGES[0]["db_size"]
+        db_size = STAGES[-1]["db_size"]
         qps = cpu_baseline(db_size)
         _emit(db_size, qps, ", CPU fallback - accelerator unreachable")
+    elif _EMITTED:
+        # the LAST stdout line is the driver's recorded number: re-print
+        # the headline — best line of the largest completed DB size
+        best_db = max(db for db, _ in _EMITTED)
+        print([l for db, l in _EMITTED if db == best_db][-1], flush=True)
 
 
 if __name__ == "__main__":
