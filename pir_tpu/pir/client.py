@@ -28,6 +28,10 @@ from pir_tpu.proto import payload_pb2 as pb
 from pir_tpu.utils.math import generate_galois_elts, invert_mod, next_power_two
 
 
+# (encryption_params, seed) -> (sk, pk, galois, relin, post-keygen rng state)
+_KEYGEN_MEMO: dict = {}
+
+
 class PirClient:
     def __init__(
         self,
@@ -59,13 +63,37 @@ class PirClient:
         self.ctx = PirContext.for_params(params)
         self.db = PirDatabase(params)  # index math only, no data
         self._rng = np.random.default_rng(seed)
-        with self.ctx.on_host():
-            self.sk = keys_mod.gen_secret_key(self.ctx, self._rng)
-            self.pk = keys_mod.gen_public_key(self.ctx, self.sk, self._rng)
-            self.galois_keys = keys_mod.gen_galois_keys(
-                self.ctx, self.sk, generate_galois_elts(self.ctx.n), self._rng
-            )
-            self.relin_keys = keys_mod.gen_relin_key(self.ctx, self.sk, self._rng)
+        # A seeded client's keys are a pure function of (encryption params,
+        # seed): memoize the keygen (it dominates client construction at
+        # N=4096) and replay the post-keygen rng state into self._rng so
+        # subsequent query encryption randomness is bit-identical to an
+        # uncached build.  seed=None clients always run fresh keygen.
+        memo_key = (params.encryption_params, seed) if seed is not None else None
+        hit = _KEYGEN_MEMO.get(memo_key) if memo_key is not None else None
+        if hit is None:
+            with self.ctx.on_host():
+                self.sk = keys_mod.gen_secret_key(self.ctx, self._rng)
+                self.pk = keys_mod.gen_public_key(self.ctx, self.sk, self._rng)
+                self.galois_keys = keys_mod.gen_galois_keys(
+                    self.ctx, self.sk, generate_galois_elts(self.ctx.n), self._rng
+                )
+                self.relin_keys = keys_mod.gen_relin_key(
+                    self.ctx, self.sk, self._rng
+                )
+            if memo_key is not None:
+                if len(_KEYGEN_MEMO) >= 16:
+                    _KEYGEN_MEMO.pop(next(iter(_KEYGEN_MEMO)))
+                _KEYGEN_MEMO[memo_key] = (
+                    self.sk,
+                    self.pk,
+                    self.galois_keys,
+                    self.relin_keys,
+                    self._rng.bit_generator.state,
+                )
+        else:
+            self.sk, self.pk, self.galois_keys, self.relin_keys, state = hit
+            self._rng = np.random.default_rng()
+            self._rng.bit_generator.state = state
         # cache the serialized evaluation keys once (client.cpp:50-54)
         seal_ep = params.encryption_params if wire_format == "seal" else None
         self._galois_bytes = wire.serialize_galois_keys(

@@ -42,13 +42,31 @@ class Toolkit:
     relin: keys_mod.RelinKeys
 
 
+# Keygen at N=4096 dominates test wall time, and most tests rebuild the
+# identical toolkit — memoize on the (frozen, hashable) parameter tuple.
+# Tests consume the toolkit's rng *after* keygen, so the memo snapshots the
+# post-keygen bit-generator state and replays it into a FRESH Generator per
+# call: every caller sees randomness bit-identical to an uncached build,
+# regardless of what earlier tests drew from their own copies.
+_TOOLKIT_MEMO: dict = {}
+
+
 def make_toolkit(params: PirParams, seed: int = 42, extra_elts=()) -> Toolkit:
-    ctx = PirContext.for_params(params)
-    rng = np.random.default_rng(seed)
-    sk = keys_mod.gen_secret_key(ctx, rng)
-    pk = keys_mod.gen_public_key(ctx, sk, rng)
-    galois = keys_mod.gen_galois_keys(
-        ctx, sk, list(generate_galois_elts(ctx.n)) + list(extra_elts), rng
-    )
-    relin = keys_mod.gen_relin_key(ctx, sk, rng)
-    return Toolkit(ctx=ctx, rng=rng, sk=sk, pk=pk, galois=galois, relin=relin)
+    key = (params, seed, tuple(extra_elts))
+    hit = _TOOLKIT_MEMO.get(key)
+    if hit is None:
+        ctx = PirContext.for_params(params)
+        rng = np.random.default_rng(seed)
+        sk = keys_mod.gen_secret_key(ctx, rng)
+        pk = keys_mod.gen_public_key(ctx, sk, rng)
+        galois = keys_mod.gen_galois_keys(
+            ctx, sk, list(generate_galois_elts(ctx.n)) + list(extra_elts), rng
+        )
+        relin = keys_mod.gen_relin_key(ctx, sk, rng)
+        tk = Toolkit(ctx=ctx, rng=rng, sk=sk, pk=pk, galois=galois, relin=relin)
+        hit = (tk, rng.bit_generator.state)
+        _TOOLKIT_MEMO[key] = hit
+    tk, rng_state = hit
+    rng = np.random.default_rng()
+    rng.bit_generator.state = rng_state
+    return dataclasses.replace(tk, rng=rng)
