@@ -136,11 +136,24 @@ class PirContext:
         executable instead (jax.jit retraces per shape as usual)."""
         import jax
 
-        if any(
-            isinstance(a, jax.core.Tracer)
-            for a in jax.tree_util.tree_leaves(args)
-        ):
+        leaves = jax.tree_util.tree_leaves(args)
+        if any(isinstance(a, jax.core.Tracer) for a in leaves):
             return builder()(*args)
+        # Non-pytree wrapper objects (e.g. a GaloisKeys dataclass) would
+        # hide tracers from the check above AND fail inside jax.jit below
+        # with an opaque error — callers must pre-unwrap to arrays/dicts.
+        bad = [
+            type(a).__name__
+            for a in leaves
+            if not (hasattr(a, "dtype") or hasattr(a, "__array__")
+                    or isinstance(a, (int, float, bool)) or a is None)
+        ]
+        if bad:
+            raise TypeError(
+                f"maybe_jitted({name!r}) requires array-like leaves; got "
+                f"opaque objects {bad} — unwrap key containers to their "
+                f".data arrays before the call"
+            )
         return self.jitted(name, builder)(*args)
 
     # ------------------------------------------------------------------

@@ -78,6 +78,86 @@ def expand_single(
     )
 
 
+def expand_single_sharded(
+    ctx: PirContext,
+    galois_keys,
+    ct: jnp.ndarray,
+    num_items: int,
+    axis_name: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """expand_single with the doubling tree sharded over a mesh axis.
+
+    The expansion tree is position-independent: level j maps ct k to
+    outputs (k, k + 2^j) using only ct k, so after log2(S) replicated
+    levels each of the S shards can continue expanding its own subtree —
+    shard s's local output m is global output s + m*S — with zero
+    cross-shard traffic until one final all_gather + stride-unshuffle.
+    This removes the round-3 bottleneck of every db shard redundantly
+    computing the full key-switch expansion (the scan analog of
+    pir/cpp/server.cpp:105-146): key-switch applications per shard drop
+    from 2^logm - 1 to (S - 1) + (2^logm - S)/S.
+
+    Bit-exact with expand_single (identical ops, reordered across
+    devices).  Callable only inside shard_map with `axis_name` bound.
+    """
+    import jax
+
+    n = ctx.n
+    if num_items > n:
+        raise ValueError("cannot expand more items from a CT than poly degree")
+    logm = ceil_log2(num_items)
+    if n_shards <= 1 or n_shards & (n_shards - 1) or (1 << logm) <= n_shards:
+        # non-power-of-two shard counts and tiny trees: replicate (cheap)
+        return expand_single(ctx, galois_keys, ct, num_items)
+    j0 = n_shards.bit_length() - 1  # log2(S)
+    cts = ct[jnp.newaxis]
+    for j in range(j0):
+        cts = expand_level(ctx, galois_keys, cts, j)  # replicated: S cts
+    mine = jax.lax.dynamic_slice_in_dim(
+        cts, jax.lax.axis_index(axis_name), 1, axis=0
+    )
+    for j in range(j0, logm):
+        mine = expand_level(ctx, galois_keys, mine, j)
+    # mine[m] is global output s + m*S; gather and unshuffle the stride
+    full = jax.lax.all_gather(mine, axis_name, axis=0)  # [S, M, 2, L, N]
+    m_local = mine.shape[0]
+    out = jnp.transpose(full, (1, 0, 2, 3, 4)).reshape(
+        n_shards * m_local, *mine.shape[1:]
+    )
+    assert out.shape[0] == next_power_two(num_items)
+    return out[:num_items]
+
+
+def expand_query_sharded(
+    ctx: PirContext,
+    galois_keys,
+    cts: jnp.ndarray,
+    total_items: int,
+    axis_name: str,
+    n_shards: int,
+) -> jnp.ndarray:
+    """expand_query with each ciphertext's tree sharded (see above)."""
+    n = ctx.n
+    if cts.shape[0] != total_items // n + 1:
+        raise ValueError(
+            "number of ciphertexts doesn't match number of items for "
+            "oblivious expansion"
+        )
+    outs = []
+    remaining = total_items
+    for i in range(cts.shape[0]):
+        count = min(n, remaining)
+        if count > 0:
+            outs.append(
+                expand_single_sharded(
+                    ctx, galois_keys, cts[i], count, axis_name, n_shards
+                )
+            )
+        remaining -= n
+    return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
 def expand_query(
     ctx: PirContext, galois_keys, cts: jnp.ndarray, total_items: int
 ) -> jnp.ndarray:

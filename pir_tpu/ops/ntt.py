@@ -152,25 +152,43 @@ class NttTables:
         return out
 
     # ------------------------------------------------------------------
-    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
-        """Coefficient order -> bit-reversed NTT order.  x: u64[..., L, N]."""
+    def _kernel_dispatch(self, x: jnp.ndarray, inverse: bool):
+        """Route to a Pallas kernel per the active impl, or None for the
+        XLA per-stage path.
+
+        Shard-view stand-ins (parallel/sharded.py builds NttTables with
+        ``moduli = (None,) * L`` and traced table arrays) can NEVER take
+        the kernel paths here — their plans need concrete host moduli —
+        so they fail safe to the XLA path (the shard view itself routes
+        supported sizes to pallas_mxu_ntt.ntt_sharded before delegating).
+        """
+        if not self.moduli or self.moduli[0] is None:
+            return None
         impl = _resolve_impl()
+        if impl == "xla":
+            return None
+        interpret = impl.endswith("_interpret")
         if impl.startswith("mxu"):
             from pir_tpu.ops import pallas_mxu_ntt
 
             if pallas_mxu_ntt.supported(self.n):
                 return pallas_mxu_ntt.ntt(
-                    self, x, inverse=False,
-                    interpret=impl == "mxu_interpret",
+                    self, x, inverse=inverse, interpret=interpret
                 )
-        elif impl != "xla":
-            from pir_tpu.ops import pallas_ntt
+        # butterfly kernel: the "pallas" impl, and the small-ring fallback
+        # when the mxu kernel doesn't support N (keeps one-HBM-pass perf
+        # for N < 1024 under the "auto" default)
+        from pir_tpu.ops import pallas_ntt
 
-            if pallas_ntt.supported(self.n):
-                return pallas_ntt.ntt(
-                    self, x, inverse=False,
-                    interpret=impl == "pallas_interpret",
-                )
+        if pallas_ntt.supported(self.n):
+            return pallas_ntt.ntt(self, x, inverse=inverse, interpret=interpret)
+        return None
+
+    def forward(self, x: jnp.ndarray) -> jnp.ndarray:
+        """Coefficient order -> bit-reversed NTT order.  x: u64[..., L, N]."""
+        out = self._kernel_dispatch(x, inverse=False)
+        if out is not None:
+            return out
         n = self.n
         L = len(self.moduli)
         q = self.limbs.q  # [L, 1] -> broadcast below as [L, 1, 1]
@@ -193,23 +211,9 @@ class NttTables:
 
     def inverse(self, x: jnp.ndarray) -> jnp.ndarray:
         """Bit-reversed NTT order -> coefficient order.  x: u64[..., L, N]."""
-        impl = _resolve_impl()
-        if impl.startswith("mxu"):
-            from pir_tpu.ops import pallas_mxu_ntt
-
-            if pallas_mxu_ntt.supported(self.n):
-                return pallas_mxu_ntt.ntt(
-                    self, x, inverse=True,
-                    interpret=impl == "mxu_interpret",
-                )
-        elif impl != "xla":
-            from pir_tpu.ops import pallas_ntt
-
-            if pallas_ntt.supported(self.n):
-                return pallas_ntt.ntt(
-                    self, x, inverse=True,
-                    interpret=impl == "pallas_interpret",
-                )
+        out = self._kernel_dispatch(x, inverse=True)
+        if out is not None:
+            return out
         n = self.n
         L = len(self.moduli)
         q = self.limbs.q

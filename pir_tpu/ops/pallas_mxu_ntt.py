@@ -31,7 +31,6 @@ pir/cpp/database.cpp:74,104,250-254.
 
 from __future__ import annotations
 
-import functools
 
 import numpy as np
 import jax
@@ -99,16 +98,21 @@ class _KernelPlan:
         self.tw_h, self.tw_l = _split_words(tw_tiled)
         self.ts_h, self.ts_l = _split_words(tw_shoup)
 
-        # per-limb scalar words for the kernel's static limb loop
-        self.limb_consts = []
+        # Per-limb scalar words, packed as one u32[L, 4 + 6*n_groups] SMEM
+        # table operand: [q_h, q_l, r_h, r_l] then per bucket group
+        # [kg_h, kg_l, sc_h, sc_l, ss_h, ss_l].  A table operand (instead
+        # of baked Python constants) keeps the kernel program identical
+        # across devices of a limb-sharded mesh, where each device owns
+        # different moduli (same trick as pallas_scan.limb_consts).
         bias = sum(128 << (8 * i) for i in range(ndig))
         self.bias_h = np.uint32(bias >> 32)
         self.bias_l = np.uint32(bias & 0xFFFFFFFF)
         n_buckets = 2 * ndig - 1
         self.n_groups = -(-n_buckets // 5)
+        rows = []
         for q in moduli:
             rhi = modular.barrett_ratio(q)[0]
-            groups = []
+            row = [q >> 32, q & 0xFFFFFFFF, rhi >> 32, rhi & 0xFFFFFFFF]
             for g in range(self.n_groups):
                 lo_s = 5 * g
                 hi_s = min(lo_s + 5, n_buckets)
@@ -116,25 +120,16 @@ class _KernelPlan:
                 kg_mod = kg % q
                 scale = pow(2, 40 * g, q)
                 scale_shoup = (scale << 64) // q
-                groups.append(
-                    {
-                        "kg_h": np.uint32(kg_mod >> 32),
-                        "kg_l": np.uint32(kg_mod & 0xFFFFFFFF),
-                        "sc_h": np.uint32(scale >> 32),
-                        "sc_l": np.uint32(scale & 0xFFFFFFFF),
-                        "ss_h": np.uint32(scale_shoup >> 32),
-                        "ss_l": np.uint32(scale_shoup & 0xFFFFFFFF),
-                    }
-                )
-            self.limb_consts.append(
-                {
-                    "q_h": np.uint32(q >> 32),
-                    "q_l": np.uint32(q & 0xFFFFFFFF),
-                    "r_h": np.uint32(rhi >> 32),
-                    "r_l": np.uint32(rhi & 0xFFFFFFFF),
-                    "groups": groups,
-                }
-            )
+                row += [
+                    kg_mod >> 32, kg_mod & 0xFFFFFFFF,
+                    scale >> 32, scale & 0xFFFFFFFF,
+                    scale_shoup >> 32, scale_shoup & 0xFFFFFFFF,
+                ]
+            rows.append(row)
+        self.consts = np.array(rows, dtype=np.uint32)
+        # jitted entry cache, keyed by interpret flag — kept on the plan
+        # (GC'd with the tables) instead of the process-global jit cache
+        self._jit: dict = {}
 
 
 def _plan(tables, inverse: bool, block_b: int) -> _KernelPlan:
@@ -223,13 +218,38 @@ def _dot_step(plan, digits, mat, left: bool):
     return buckets
 
 
-def _make_kernel(plan, dtype):
+def _limb_scalars(plan, consts_ref, li):
+    """Per-limb scalar words for limb li, read from the SMEM table."""
+    lc = {
+        "q_h": consts_ref[li, 0],
+        "q_l": consts_ref[li, 1],
+        "r_h": consts_ref[li, 2],
+        "r_l": consts_ref[li, 3],
+        "groups": [],
+    }
+    for g in range(plan.n_groups):
+        o = 4 + 6 * g
+        lc["groups"].append(
+            {
+                "kg_h": consts_ref[li, o],
+                "kg_l": consts_ref[li, o + 1],
+                "sc_h": consts_ref[li, o + 2],
+                "sc_l": consts_ref[li, o + 3],
+                "ss_h": consts_ref[li, o + 4],
+                "ss_l": consts_ref[li, o + 5],
+            }
+        )
+    return lc
+
+
+def _make_kernel(plan, dtype, n_limbs):
     bb, n1, n2 = plan.block_b, plan.n1, plan.n2
     rows = bb * n1
 
-    def kernel(lbig_ref, right_ref, twh_ref, twl_ref, tsh_ref, tsl_ref,
-               xh_ref, xl_ref, oh_ref, ol_ref):
-        for li, lc in enumerate(plan.limb_consts):
+    def kernel(consts_ref, lbig_ref, right_ref, twh_ref, twl_ref, tsh_ref,
+               tsl_ref, xh_ref, xl_ref, oh_ref, ol_ref):
+        for li in range(n_limbs):
+            lc = _limb_scalars(plan, consts_ref, li)
             qh, ql = lc["q_h"], lc["q_l"]
             xh = xh_ref[:, li].reshape(rows, n2)  # [(b n1), n2]
             xl = xl_ref[:, li].reshape(rows, n2)
@@ -267,60 +287,74 @@ def _make_kernel(plan, dtype):
     return kernel
 
 
-@functools.partial(
-    jax.jit,
-    static_argnames=("tables_id", "plan_ref", "inverse", "block_b", "interpret"),
-)
-def _ntt_flat(
-    x, lbig, right, twh, twl, tsh, tsl,
-    tables_id, plan_ref, inverse: bool, block_b: int, interpret: bool,
-):
-    del tables_id  # cache key only; plan_ref rides along as a static aux
-    plan = plan_ref[0]
-    B, L, n = x.shape
-    n1, n2 = plan.n1, plan.n2
-    bb = plan.block_b
-    pad = (-B) % bb
-    if pad:
-        x = jnp.concatenate([x, jnp.zeros((pad, L, n), jnp.uint64)], axis=0)
-    xh, xl = wide32.split_u64(x)
-    xh = xh.reshape(-1, L, n1, n2)
-    xl = xl.reshape(-1, L, n1, n2)
-    grid = ((B + pad) // bb,)
-    zero = np.int32(0)
-    # interpret mode runs the dots on XLA-CPU, whose dot thunk lacks the
-    # bf16 x bf16 -> f32 mode; f32 operands are equally exact here
-    dtype = jnp.float32 if interpret else jnp.bfloat16
-    lbig = lbig.astype(dtype)
-    right = right.astype(dtype)
+def _ntt_flat_fn(plan, interpret: bool):
+    """The jitted flat-batch transform for one plan, cached on the plan
+    (so its lifetime tracks the tables object, not the global jit cache).
 
-    def const_spec(arr):
-        return pl.BlockSpec(
-            arr.shape, lambda b: (zero,) * arr.ndim, memory_space=pltpu.VMEM
+    All per-limb operand arrays — including the scalar-words table — are
+    jit *arguments*: with host constants this compiles the classic
+    single-chip kernel; under shard_map limb sharding the same program
+    consumes each device's traced slices (see :func:`ntt_sharded`)."""
+    fn = plan._jit.get(interpret)
+    if fn is not None:
+        return fn
+
+    def run(x, consts, lbig, right, twh, twl, tsh, tsl):
+        B, L, n = x.shape
+        n1, n2 = plan.n1, plan.n2
+        bb = plan.block_b
+        pad = (-B) % bb
+        if pad:
+            x = jnp.concatenate(
+                [x, jnp.zeros((pad, L, n), jnp.uint64)], axis=0
+            )
+        xh, xl = wide32.split_u64(x)
+        xh = xh.reshape(-1, L, n1, n2)
+        xl = xl.reshape(-1, L, n1, n2)
+        grid = ((B + pad) // bb,)
+        zero = np.int32(0)
+        # interpret mode runs the dots on XLA-CPU, whose dot thunk lacks
+        # the bf16 x bf16 -> f32 mode; f32 operands are equally exact here
+        dtype = jnp.float32 if interpret else jnp.bfloat16
+        lbig = lbig.astype(dtype)
+        right = right.astype(dtype)
+
+        def const_spec(arr):
+            return pl.BlockSpec(
+                arr.shape, lambda b: (zero,) * arr.ndim,
+                memory_space=pltpu.VMEM,
+            )
+
+        consts_spec = pl.BlockSpec(
+            consts.shape, lambda b: (zero, zero), memory_space=pltpu.SMEM
         )
+        x_spec = pl.BlockSpec(
+            (bb, L, n1, n2), lambda b: (b, zero, zero, zero),
+            memory_space=pltpu.VMEM,
+        )
+        oh, ol = pl.pallas_call(
+            _make_kernel(plan, dtype, L),
+            grid=grid,
+            in_specs=[
+                consts_spec,
+                const_spec(lbig), const_spec(right),
+                const_spec(twh), const_spec(twl),
+                const_spec(tsh), const_spec(tsl),
+                x_spec, x_spec,
+            ],
+            out_specs=(x_spec, x_spec),
+            out_shape=(
+                jax.ShapeDtypeStruct(xh.shape, jnp.uint32),
+                jax.ShapeDtypeStruct(xh.shape, jnp.uint32),
+            ),
+            interpret=interpret,
+        )(consts, lbig, right, twh, twl, tsh, tsl, xh, xl)
+        out = wide32.join_u64(oh, ol).reshape(-1, L, n)
+        return out[:B] if pad else out
 
-    x_spec = pl.BlockSpec(
-        (bb, L, n1, n2), lambda b: (b, zero, zero, zero),
-        memory_space=pltpu.VMEM,
-    )
-    oh, ol = pl.pallas_call(
-        _make_kernel(plan, dtype),
-        grid=grid,
-        in_specs=[
-            const_spec(lbig), const_spec(right),
-            const_spec(twh), const_spec(twl),
-            const_spec(tsh), const_spec(tsl),
-            x_spec, x_spec,
-        ],
-        out_specs=(x_spec, x_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct(xh.shape, jnp.uint32),
-            jax.ShapeDtypeStruct(xh.shape, jnp.uint32),
-        ),
-        interpret=interpret,
-    )(lbig, right, twh, twl, tsh, tsl, xh, xl)
-    out = wide32.join_u64(oh, ol).reshape(-1, L, n)
-    return out[:B] if pad else out
+    fn = jax.jit(run)
+    plan._jit[interpret] = fn
+    return fn
 
 
 def ntt(tables, x, inverse: bool, interpret: bool = False,
@@ -335,15 +369,55 @@ def ntt(tables, x, inverse: bool, interpret: bool = False,
     if flat.shape[0] < block_b:
         block_b = max(1, int(flat.shape[0]))
     plan = _plan(tables, inverse, block_b)
-    out = _ntt_flat(
+    out = _ntt_flat_fn(plan, interpret)(
         flat,
+        jnp.asarray(plan.consts),
         jnp.asarray(plan.left_big), jnp.asarray(plan.right),
         jnp.asarray(plan.tw_h), jnp.asarray(plan.tw_l),
         jnp.asarray(plan.ts_h), jnp.asarray(plan.ts_l),
-        tables_id=(id(tables), tuple(tables.moduli), n),
-        plan_ref=(plan,),
-        inverse=inverse,
-        block_b=block_b,
-        interpret=interpret,
     )
     return out.reshape(*batch, L, n)
+
+
+# ----------------------------------------------------------------------
+# Limb-sharded entry (parallel/sharded.py)
+# ----------------------------------------------------------------------
+
+def plan_arrays(tables, inverse: bool) -> dict:
+    """The per-limb operand arrays of the global plan, L-leading — host
+    numpy, ready to be sharded over a mesh "limb" axis (axis 0 of every
+    array).  Keys match :func:`ntt_sharded`'s expectations."""
+    plan = _plan(tables, inverse, DEFAULT_BLOCK_B)
+    return {
+        "consts": plan.consts,
+        "lbig": plan.left_big,
+        "right": plan.right,
+        "twh": plan.tw_h,
+        "twl": plan.tw_l,
+        "tsh": plan.ts_h,
+        "tsl": plan.ts_l,
+    }
+
+
+def ntt_sharded(tables, arrs: dict, x, inverse: bool, interpret: bool = False):
+    """NTT/INTT inside a limb-sharded shard_map region.
+
+    ``tables`` is the GLOBAL (limb-dense, concrete-moduli) NttTables — it
+    supplies only the static structure (N split, digit count, bucket
+    grouping; identical for every limb of one chain).  ``arrs`` carries
+    this device's traced slices of :func:`plan_arrays` for the matching
+    direction; ``x`` is u64[..., L_local, N].  Bit-exact with the
+    single-chip kernel on the device's own limbs."""
+    n = tables.n
+    batch = x.shape[:-2]
+    l_local = x.shape[-2]
+    flat = x.reshape((-1, l_local, n))
+    if flat.shape[0] == 0:
+        return x
+    plan = _plan(tables, inverse, DEFAULT_BLOCK_B)
+    out = _ntt_flat_fn(plan, interpret)(
+        flat,
+        arrs["consts"], arrs["lbig"], arrs["right"],
+        arrs["twh"], arrs["twl"], arrs["tsh"], arrs["tsl"],
+    )
+    return out.reshape(*batch, l_local, n)

@@ -84,7 +84,14 @@ def default_mesh(devices=None, batch: int = 1, limb: int = 1) -> Mesh:
 
 
 def _limb_tables(ctx: PirContext) -> dict:
-    """All per-ct-limb constant arrays, keyed for sharding on axis 0."""
+    """All per-ct-limb constant arrays, keyed for sharding on axis 0.
+
+    When the ring size supports the production MXU NTT kernel, the
+    kernel's per-limb plan operands (digit matrices, twiddle planes, and
+    the scalar-words table — ops/pallas_mxu_ntt.plan_arrays) ride along
+    too, so each device runs the runtime-constants kernel on its own limb
+    slice instead of falling back to the XLA per-stage path.
+    """
     nt = ctx.ntt_q
     tabs = {
         "psi_rev": nt.psi_rev,
@@ -101,7 +108,53 @@ def _limb_tables(ctx: PirContext) -> dict:
         tabs["p_half_mod_q"] = ctx.p_half_mod_q
         tabs["p_inv_mod_q"] = ctx.p_inv_mod_q
         tabs["p_inv_mod_q_shoup"] = ctx.p_inv_mod_q_shoup
+    from pir_tpu.ops import pallas_mxu_ntt
+
+    if pallas_mxu_ntt.supported(ctx.n):
+        for prefix, inv in (("mxu_fwd_", False), ("mxu_inv_", True)):
+            for k, v in pallas_mxu_ntt.plan_arrays(nt, inv).items():
+                tabs[prefix + k] = v
     return tabs
+
+
+class _ShardNttTables(NttTables):
+    """NttTables stand-in for one limb shard: traced per-device slices.
+
+    Ring sizes the MXU kernel supports route to its runtime-constants
+    variant (pallas_mxu_ntt.ntt_sharded) whenever the active impl
+    resolves to "mxu"; everything else takes the inherited XLA per-stage
+    path, which consumes the traced twiddle slices directly.  The
+    host-plan kernel paths are unreachable by construction —
+    NttTables._kernel_dispatch skips them when ``moduli`` holds None.
+    """
+
+    # set post-construction by _LimbShardView
+    _global = None  # the limb-dense NttTables (static plan structure)
+    _mxu_fwd = None  # traced plan_arrays slices, or None
+    _mxu_inv = None
+
+    def _shard_kernel(self, x, inverse: bool):
+        from pir_tpu.ops import ntt as ntt_mod
+        from pir_tpu.ops import pallas_mxu_ntt
+
+        arrs = self._mxu_inv if inverse else self._mxu_fwd
+        if arrs is None:
+            return None
+        impl = ntt_mod.accel_impl()
+        if not impl.startswith("mxu"):
+            return None
+        return pallas_mxu_ntt.ntt_sharded(
+            self._global, arrs, x, inverse=inverse,
+            interpret=impl == "mxu_interpret",
+        )
+
+    def forward(self, x):
+        out = self._shard_kernel(x, inverse=False)
+        return out if out is not None else super().forward(x)
+
+    def inverse(self, x):
+        out = self._shard_kernel(x, inverse=True)
+        return out if out is not None else super().inverse(x)
 
 
 class _LimbShardView:
@@ -122,9 +175,12 @@ class _LimbShardView:
         self.L = l_local
         self._offset = jax.lax.axis_index(axis_name) * l_local
 
-        nt = object.__new__(NttTables)
+        nt = object.__new__(_ShardNttTables)
         nt.n = ctx.n
-        nt.moduli = (None,) * l_local  # only len() is consumed under trace
+        # None moduli mark the shard stand-in: len() is consumed under
+        # trace, and NttTables._kernel_dispatch fails safe to the XLA path
+        # on seeing them (host-plan kernels need concrete moduli)
+        nt.moduli = (None,) * l_local
         lim = object.__new__(LimbConstants)
         lim.moduli = nt.moduli
         lim.q = tabs["q"]
@@ -137,6 +193,15 @@ class _LimbShardView:
         nt.psi_inv_rev_shoup = tabs["psi_inv_rev_shoup"]
         nt.n_inv = tabs["n_inv"]
         nt.n_inv_shoup = tabs["n_inv_shoup"]
+        nt._global = ctx.ntt_q
+        if any(k.startswith("mxu_fwd_") for k in tabs):
+            strip = len("mxu_fwd_")
+            nt._mxu_fwd = {
+                k[strip:]: v for k, v in tabs.items() if k.startswith("mxu_fwd_")
+            }
+            nt._mxu_inv = {
+                k[strip:]: v for k, v in tabs.items() if k.startswith("mxu_inv_")
+            }
         self.ntt_q = nt
         self.limbs_q = lim
         if ctx.special is not None:
@@ -252,7 +317,13 @@ def make_sharded_pipeline(
     if db_planes is not None:
         ph, plo = db_planes
         pad_mult = n_db if len(dims) == 1 else n_db * middle
-        plane_h = pad_axis(_as_is(ph), plane_db_axis, pad_mult)
+        # ph is None for sub-32-bit moduli (split_planes): the u32 kernel
+        # variant reads the lo plane only
+        plane_h = (
+            pad_axis(_as_is(ph), plane_db_axis, pad_mult)
+            if ph is not None
+            else None
+        )
         plane_l = pad_axis(_as_is(plo), plane_db_axis, pad_mult)
         db_blocks = np.zeros((n_db, 1, ctx.L, ctx.n), np.uint64)
         shoup_blocks = db_blocks
@@ -293,7 +364,15 @@ def make_sharded_pipeline(
         my_db = jax.lax.axis_index("db") if "db" in mesh.axis_names else 0
 
         def one_query(query_cts):
-            sv = expand.expand_query(cx, gk, query_cts, dim_sum)
+            # oblivious expansion: subtree-sharded over the db axis (each
+            # shard key-switches ~1/n_db of the tree, one all_gather)
+            # instead of replicated per shard — ops/expand.py docstring
+            if "db" in mesh.axis_names and n_db > 1:
+                sv = expand.expand_query_sharded(
+                    cx, gk, query_cts, dim_sum, "db", n_db
+                )
+            else:
+                sv = expand.expand_query(cx, gk, query_cts, dim_sum)
             sv_ntt = cx.ntt_q.forward(sv)
             sv0 = pad_axis(sv_ntt[:d0], 0, n_db)
             sv0_local = jax.lax.dynamic_slice_in_dim(
@@ -339,7 +418,7 @@ def make_sharded_pipeline(
         check_vma=False,
     )
 
-    if plane_h is None:
+    if db_planes is None:
         # zero-row placeholders keep the arg structure static for jit;
         # shaped so the axis plane_spec shards is divisible by the mesh
         ph_shape = (

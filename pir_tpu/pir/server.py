@@ -37,6 +37,7 @@ class PirServer:
         packed_transfer: bool = True,
         wire_format: str = "auto",
         split_pipeline: Optional[bool] = None,
+        mesh=None,
     ):
         """reply_limbs: if set, mod-switch reply ciphertexts down to this
         many RNS limbs before serialization (ops/modswitch.py) — shrinks
@@ -61,7 +62,15 @@ class PirServer:
         latency severalfold because XLA optimization time grows
         superlinearly with HLO size and the per-stage compiles run in
         parallel.  Default (None): on for accelerator backends, off for
-        CPU (whose monolithic compile is already fast)."""
+        CPU (whose monolithic compile is already fast).
+
+        mesh: a jax.sharding.Mesh (parallel/sharded.default_mesh) — serve
+        every request through the multi-chip pipeline: DB rows sharded
+        over the "db" axis (subtree-sharded expansion + psum reduction),
+        request queries over "batch", RNS limbs over "limb".  The protocol
+        surface (key cache, wire formats, async/batched serving) is
+        unchanged; replies are bit-identical to single-chip serving.
+        Decomposition mode only (the reference's benchmark mode)."""
         if wire_format not in ("auto", "native", "seal"):
             raise ValueError(f"unknown wire format {wire_format!r}")
         self.wire_format = wire_format
@@ -77,6 +86,11 @@ class PirServer:
             1 <= reply_limbs <= len(params.encryption_params.ct_modulus)
         ):
             raise ValueError("reply_limbs out of range for the modulus chain")
+        if mesh is not None and params.use_ciphertext_multiplication:
+            raise ValueError(
+                "mesh serving supports decomposition mode only"
+            )
+        self.mesh = mesh
         self.params = params
         self.db = db
         self.ctx = db.ctx
@@ -408,6 +422,45 @@ class PirServer:
             mode = "seal" if is_seal else "native"
         return self.params.encryption_params if mode == "seal" else None
 
+    # ------------------------------------------------------------------
+    # Mesh-backed serving (parallel/sharded.py pipeline behind the same
+    # protocol surface)
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=1)
+    def _mesh_pipeline(self):
+        from pir_tpu.parallel import sharded
+
+        if self.db._use_planes:
+            return sharded.make_sharded_pipeline(
+                self.ctx, self.params.dimensions, None, self.mesh,
+                reply_limbs=self.reply_limbs, db_planes=self.db.db_planes,
+            )
+        return sharded.make_sharded_pipeline(
+            self.ctx, self.params.dimensions, self.db.db_ntt, self.mesh,
+            db_shoup=self.db.db_ntt_shoup, reply_limbs=self.reply_limbs,
+        )
+
+    def _process_request_async_mesh(self, request: pb.Request):
+        import numpy as np
+
+        from pir_tpu.parallel import sharded
+
+        gk_arrays, _rk = self._device_keys(request)
+        seal_ep = self._reply_seal_ep(request)
+        stacks = [wire.load_ciphertexts(q, self.ctx) for q in request.query]
+        if not stacks:
+            return ("mesh", None, 0, seal_ep)
+        if len({s.shape for s in stacks}) != 1:
+            raise ValueError(
+                "mesh serving requires equal query shapes per request "
+                "(always true for same-params clients)"
+            )
+        q = np.stack(stacks)
+        batch = dict(self.mesh.shape).get("batch", 1)
+        q = sharded.pad_axis(q, 0, batch)
+        replies = self._mesh_pipeline()(jnp.asarray(q), gk_arrays)
+        return ("mesh", replies, len(stacks), seal_ep)
+
     def process_request_async(self, request: pb.Request):
         """Dispatch a request's device work and return an opaque pending
         handle without waiting for the reply transfer.  A serving loop can
@@ -417,6 +470,8 @@ class PirServer:
         reference's serve loop is strictly sequential (server.cpp:60-63);
         this is the TPU-native throughput shape of the same per-query
         semantics: replies are bit-identical and completed in order."""
+        if self.mesh is not None:
+            return self._process_request_async_mesh(request)
         gk_arrays, rk = self._device_keys(request)
         if self.params.use_ciphertext_multiplication and rk is None and len(
             self.params.dimensions
@@ -436,6 +491,16 @@ class PirServer:
 
     def finalize_response(self, pending) -> pb.Response:
         """Complete a process_request_async handle into a Response."""
+        if pending[0] == "mesh":
+            _, replies, count, seal_ep = pending
+            response = pb.Response()
+            if count:
+                host = jax.device_get(replies)
+                for qi in range(count):
+                    wire.save_ciphertexts(
+                        host[qi], response.reply.add(), seal_ep=seal_ep
+                    )
+            return response
         handles, seal_ep = pending
         response = pb.Response()
         for handle in handles:
@@ -494,6 +559,9 @@ class PirServer:
         Requires all queries to carry the same number of ciphertexts (always
         true for same-params clients).  Decomposition mode only.
         """
+        if self.mesh is not None:
+            # the mesh pipeline is inherently batched over its "batch" axis
+            return self.process_request(request)
         gk_arrays, rk = self._device_keys(request)
         seal_ep = self._reply_seal_ep(request)
         stacks = [wire.load_ciphertexts(q, self.ctx) for q in request.query]

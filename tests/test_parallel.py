@@ -201,6 +201,80 @@ def test_limb_sharded_planes_matches_unsharded(limb, q_bits):
         assert (np.asarray(replies[qi]) == np.asarray(single)).all(), qi
 
 
+@pytest.mark.parametrize("limb,q_bits", [(2, (26, 27, 28)), (2, (26, 34, 36))])
+def test_limb_sharded_mxu_ntt_matches_unsharded(limb, q_bits):
+    """The production MXU NTT (runtime-constants variant, interpret mode)
+    on the limb mesh at a supported ring size (n=1024).
+
+    This covers the round-3 blind spot: CPU meshes resolve "auto" to
+    "xla" and the small-ring mesh tests sat below
+    pallas_mxu_ntt.supported()'s floor, so the kernel never ran under a
+    limb shard — where its per-limb constants are traced device slices.
+    N=4096 is the smallest kernel-supported ring whose 128-bit-security
+    modulus bound admits a 3-limb test chain (1024 allows 27 bits total).
+    """
+    from pir_tpu.ops import ntt as ntt_mod
+
+    params = tiny_pir_params(
+        dbsize=6, bytes_per_item=0, dimensions=2, n=4096, t_bits=20,
+        q_bits=q_bits,
+    )
+    raw = generate_test_db(params.num_items, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    server = PirServer.create(db, params)
+    mesh = sharded.default_mesh(batch=1, limb=limb)
+    indices = [5]
+    queries = [client._create_query(i) for i in indices]
+    q = jnp.asarray(np.stack(queries))
+    gk = {e: jnp.asarray(k.data) for e, k in client.galois_keys.keys.items()}
+
+    with ntt_mod.use_impl("mxu_interpret"):
+        pipeline = sharded.make_sharded_pipeline(
+            db.ctx, params.dimensions, db.db_ntt, mesh
+        )
+        replies = np.asarray(pipeline(q, gk))
+
+    for qi in range(len(indices)):
+        single = server._pipeline(queries[qi].shape[0])(
+            jnp.asarray(queries[qi]), gk, None, db.db_ntt, db.db_ntt_shoup
+        )
+        assert (replies[qi] == np.asarray(single)).all(), qi
+
+
+@pytest.mark.parametrize("batch,limb", [(1, 1), (2, 1), (2, 2)])
+def test_mesh_backed_server_roundtrip(batch, limb):
+    """PirServer(mesh=...) serves the full protocol surface — proto in,
+    proto out — through the sharded pipeline, bit-exact vs the single-chip
+    server (the serving surface of server.cpp:44-63 on a mesh)."""
+    params, raw, db, client, server = _setup(2)
+    mesh = sharded.default_mesh(batch=batch, limb=limb)
+    mesh_server = PirServer(db, params, mesh=mesh)
+
+    indices = [3, 17, 29][: max(2, batch)]
+    request = client.create_request(indices)
+    resp_mesh = mesh_server.process_request(request)
+    resp_single = server.process_request(request)
+    assert resp_mesh.SerializeToString() == resp_single.SerializeToString()
+    out = client.process_response(indices, resp_mesh)
+    for i, idx in enumerate(indices):
+        assert out[i] == raw[idx]
+    # batched entry routes through the same mesh pipeline
+    resp_b = mesh_server.process_request_batched(request)
+    assert resp_b.SerializeToString() == resp_single.SerializeToString()
+
+
+def test_mesh_backed_server_rejects_ct_mult():
+    params = tiny_pir_params(
+        dbsize=10, bytes_per_item=8, dimensions=1, n=64,
+        use_ciphertext_multiplication=True,
+    )
+    raw = generate_test_db(10, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    with pytest.raises(ValueError, match="decomposition"):
+        PirServer(db, params, mesh=sharded.default_mesh())
+
+
 def test_limb_mesh_rejects_bad_widths():
     params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
     raw = generate_test_db(30, params.bytes_per_item)
