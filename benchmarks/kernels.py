@@ -24,6 +24,8 @@ adds/compares/selects:
   * NTT butterfly: one Shoup modmul + modadd + modsub -> 70 ops.
   * Raw-accumulation scan MAC (moduli < 2^48): 9 muls + ~12 adds ->
     21 ops (Barrett reduction amortized over the contraction).
+  * Single-u32 scan MAC (tpu32 profile, moduli < 2^32): mul32_wide
+    (4 muls + 7 aux) + 4 half-extract/adds -> 15 ops.
 
 Run: python benchmarks/kernels.py [--batch B] [--n N]
 """
@@ -44,6 +46,7 @@ OP_BUDGET = {
     "modmul_barrett": 97.0,
     "ntt_butterfly": 70.0,
     "scan_mac": 21.0,
+    "scan_mac_u32": 15.0,
 }
 
 
@@ -230,6 +233,51 @@ def main():
         }
         _roofline(row, backend, "macs_per_sec", macs / dt, "scan_mac")
         results.append(row)
+
+        # single-u32 variant (the tpu32 parameter profile's scan kernel)
+        try:
+            m32 = tuple(primes.tpu_coeff_modulus(N)[:L])
+        except ValueError:
+            m32 = None
+        if m32 is not None:
+            t32 = NttTables(m32, N)
+            sv32 = jnp.asarray(
+                np.stack(
+                    [
+                        rng.integers(0, q, size=(D, 2, N), dtype=np.uint64)
+                        for q in m32
+                    ],
+                    axis=2,
+                )
+            )
+            db32 = jnp.asarray(
+                np.stack(
+                    [
+                        rng.integers(0, q, size=(P, D, N), dtype=np.uint64)
+                        for q in m32
+                    ],
+                    axis=1,
+                )
+            )
+            dbh32, dbl32 = pallas_scan.split_planes(db32, m32)
+            assert dbh32 is None  # sub-32-bit: lo plane only
+            rh32 = tuple(int(v) for v in t32.limbs.ratio_hi[:, 0])
+            rl32 = tuple(int(v) for v in t32.limbs.ratio_lo[:, 0])
+            contract32 = jax.jit(
+                lambda s, l: pallas_scan.contract_dim_auto(
+                    s, None, l, m32, rh32, rl32, interpret=interp
+                )
+            )
+            dt = bench_op(contract32, sv32, dbl32, iters=args.iters)
+            row = {
+                "kernel": "pallas_scan_mac_u32",
+                "backend": backend,
+                "shape": [P, L, D, N],
+                "ms": round(dt * 1e3, 3),
+                "macs_per_sec": round(macs / dt, 0),
+            }
+            _roofline(row, backend, "macs_per_sec", macs / dt, "scan_mac_u32")
+            results.append(row)
 
     # key switch ---------------------------------------------------------
     if len(primes.default_coeff_modulus(N)) < 2:

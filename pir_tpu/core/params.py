@@ -120,19 +120,33 @@ def generate_encryption_params(
     plain_mod_bit_size: int = DEFAULT_PLAIN_MOD_BITS,
     plain_modulus: Optional[int] = None,
     coeff_modulus: Optional[Sequence[int]] = None,
+    profile: str = "seal",
 ) -> EncryptionParams:
     """Build BFV params with SEAL-3.5-compatible defaults.
 
     Parity with GenerateEncryptionParams (pir/cpp/parameters.cpp:33-54):
     batching plain modulus of the requested bit size, BFVDefault 128-bit
     coefficient chain for the ring degree.
+
+    profile: "seal" (default) uses the SEAL-compatible BFVDefault chain;
+    "tpu32" uses the TPU-native sub-32-bit chain (single-u32 residues;
+    primes_mod.tpu_coeff_modulus) — same 128-bit security and at least
+    the default's noise capacity, ~2x faster on the scan and NTT hot
+    kernels.  Both parties just share the serialized params, as always.
     """
+    if profile not in ("seal", "tpu32"):
+        raise ValueError(f"unknown parameter profile {profile!r}")
     if plain_modulus is None:
         plain_modulus = primes_mod.batching_prime(
             poly_modulus_degree, plain_mod_bit_size
         )
     if coeff_modulus is None:
-        coeff_modulus = primes_mod.default_coeff_modulus(poly_modulus_degree)
+        if profile == "tpu32":
+            coeff_modulus = primes_mod.tpu_coeff_modulus(poly_modulus_degree)
+        else:
+            coeff_modulus = primes_mod.default_coeff_modulus(
+                poly_modulus_degree
+            )
     params = EncryptionParams(
         poly_modulus_degree=poly_modulus_degree,
         plain_modulus=plain_modulus,

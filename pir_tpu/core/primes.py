@@ -116,6 +116,35 @@ def default_coeff_modulus(poly_degree: int) -> list[int]:
     return coeff_modulus_from_bits(poly_degree, bit_sizes)
 
 
+def tpu_coeff_modulus(poly_degree: int) -> list[int]:
+    """TPU-native sub-32-bit RNS chain at 128-bit security.
+
+    Every prime fits one u32 lane, so a residue is a single word: the
+    DB-scan MAC drops from 9 u32 multiplies (48-bit operands, three-word
+    products — ops/pallas_scan._raw_kernel) to 4 (one 32x32->64), the DB
+    plane shrinks from 5-6 bytes/coefficient to 4, and 30-bit values need
+    only 4 balanced base-256 digits in the MXU NTT (36-bit needs 5).
+    Trade: one more ct limb than SEAL's default chain for at least the
+    same noise capacity (ct-modulus bits >= the default chain's), sized
+    inside the same HE-standard total-bits bound the default obeys.
+
+    Opt-in profile — generate_encryption_params(profile="tpu32"); the
+    SEAL-compatible default chain stays the wire/interop default.
+    """
+    bits = _BFV_DEFAULT_BITS_128.get(poly_degree)
+    bound = MAX_COEFF_MODULUS_BITS_128.get(poly_degree)
+    if bits is None or bound is None or len(bits) < 2:
+        raise ValueError(
+            f"tpu32 profile needs a multi-prime default chain "
+            f"(poly degree >= 4096), got {poly_degree}"
+        )
+    special = 30  # 30-bit cap: value + digit bias stays under 2^32
+    ct_bits_needed = sum(bits[:-1])
+    n_ct = -(-ct_bits_needed // special)
+    each = min(special, (bound - special) // n_ct)
+    return coeff_modulus_from_bits(poly_degree, [each] * n_ct + [special])
+
+
 def coeff_modulus_from_bits(poly_degree: int, bit_sizes: list[int]) -> list[int]:
     """Distinct primes ≡ 1 mod 2N with the given bit sizes (descending scan).
 

@@ -130,10 +130,19 @@ def hi_plane_dtype(moduli=None, bits: int | None = None) -> jnp.dtype:
 
 def split_planes(
     x: jnp.ndarray, moduli=None, bits: int | None = None
-) -> tuple[jnp.ndarray, jnp.ndarray]:
-    """u64[..] -> (hi narrow, lo u32) planes."""
+) -> tuple[jnp.ndarray | None, jnp.ndarray]:
+    """u64[..] -> (hi narrow, lo u32) planes.
+
+    Sub-32-bit moduli (the "tpu32" parameter profile) have no high bits
+    at all: the hi plane is None and consumers take the 4-mul single-word
+    kernel path (_raw_kernel_u32) — 4 DB bytes/coefficient.
+    """
+    if bits is None:
+        bits = max(int(q).bit_length() for q in moduli)
     hi, lo = wide32.split_u64(x)
-    return hi.astype(hi_plane_dtype(moduli, bits)), lo
+    if bits <= 32:
+        return None, lo
+    return hi.astype(hi_plane_dtype(bits=bits)), lo
 
 
 def max_raw_chunk(moduli=None, bits: int | None = None) -> int:
@@ -151,6 +160,43 @@ def limb_consts(q: jnp.ndarray, ratio_hi: jnp.ndarray, ratio_lo: jnp.ndarray):
         hi, lo = wide32.split_u64(arr[:, 0])
         cols += [hi, lo]
     return jnp.stack(cols, axis=1)
+
+
+def _raw_kernel_u32(svl, dbl, outh, outl, *, moduli, ratios):
+    """Single-u32-residue MAC kernel (sub-32-bit moduli profile).
+
+    4 u32 multiplies per MAC (one 32x32->64) vs _raw_kernel's 9, and four
+    16-bit half partial sums vs six — the scan's arithmetic at the
+    "tpu32" parameter profile.
+    """
+    L = len(moduli)
+    for li in range(L):
+        x = svl[:, li]  # [2, D, bn] u32 (residues < 2^32)
+        w = dbl[0, li][None]  # [1, D, bn]
+        ph, plo = wide32.mul32_wide(x, w)
+        s2, s1, s0 = wide32.sum64_over_axis(ph, plo, axis=1)
+        q = int(moduli[li])
+        rhi, rlo = ratios[li]
+        oh, ol = wide32.barrett_reduce96(s2, s1, s0, q, rhi, rlo)
+        outh[0, :, li] = oh
+        outl[0, :, li] = ol
+
+
+def _raw_kernel_u32_dyn(consts, svl, dbl, outh, outl, *, L):
+    """_raw_kernel_u32 with the per-limb constants as a traced SMEM table
+    (limb-sharded meshes; layout of limb_consts)."""
+    for li in range(L):
+        x = svl[:, li]
+        w = dbl[0, li][None]
+        ph, plo = wide32.mul32_wide(x, w)
+        s2, s1, s0 = wide32.sum64_over_axis(ph, plo, axis=1)
+        oh, ol = wide32.barrett_reduce96_w(
+            s2, s1, s0,
+            consts[li, 0], consts[li, 1], consts[li, 2],
+            consts[li, 3], consts[li, 4], consts[li, 5],
+        )
+        outh[0, :, li] = oh
+        outl[0, :, li] = ol
 
 
 def _raw_kernel_dyn(consts, svh, svl, dbh, dbl, outh, outl, *, L):
@@ -198,7 +244,6 @@ def contract_dim_raw_dyn(
     assert N % bn == 0
 
     sv_t = jnp.transpose(sv_ntt, (1, 2, 0, 3))  # [2, L, D, N]
-    sv_h, sv_l = wide32.split_u64(sv_t)
 
     zero = np.int32(0)
     grid = (N // bn, P)
@@ -217,16 +262,29 @@ def contract_dim_raw_dyn(
         (1, 2, L, bn), lambda n, p: (p, zero, zero, n),
         memory_space=pltpu.VMEM,
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+        jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+    )
+    if db_hi is None:
+        sv_l = sv_t.astype(jnp.uint32)
+        out_h, out_l = pl.pallas_call(
+            functools.partial(_raw_kernel_u32_dyn, L=L),
+            grid=grid,
+            in_specs=[consts_spec, sv_spec, db_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(consts, sv_l, db_lo)
+        return wide32.join_u64(out_h, out_l)
+    sv_h, sv_l = wide32.split_u64(sv_t)
     kernel = functools.partial(_raw_kernel_dyn, L=L)
     out_h, out_l = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[consts_spec, sv_spec, sv_spec, db_spec, db_spec],
         out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
-            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(consts, sv_h, sv_l, db_hi, db_lo)
     return wide32.join_u64(out_h, out_l)
@@ -261,7 +319,6 @@ def contract_dim_raw(
     assert N % bn == 0
 
     sv_t = jnp.transpose(sv_ntt, (1, 2, 0, 3))  # [2, L, D, N]
-    sv_h, sv_l = wide32.split_u64(sv_t)
 
     zero = np.int32(0)
     # grid order (coefficient tile, prefix): P innermost so the sv block is
@@ -282,16 +339,34 @@ def contract_dim_raw(
     ratios = tuple(
         (int(h), int(l)) for h, l in zip(ratio_hi, ratio_lo)
     )
+    out_shape = (
+        jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+        jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
+    )
+    if db_hi is None:
+        # single-u32 residues (tpu32 profile): lo planes only, 4-mul MACs
+        assert b <= 32, "u32 scan path requires sub-32-bit moduli"
+        sv_l = sv_t.astype(jnp.uint32)
+        kernel = functools.partial(
+            _raw_kernel_u32, moduli=moduli, ratios=ratios
+        )
+        out_h, out_l = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[sv_spec, db_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(sv_l, db_lo)
+        return wide32.join_u64(out_h, out_l)
+    sv_h, sv_l = wide32.split_u64(sv_t)
     kernel = functools.partial(_raw_kernel, moduli=moduli, ratios=ratios)
     out_h, out_l = pl.pallas_call(
         kernel,
         grid=grid,
         in_specs=[sv_spec, sv_spec, db_spec, db_spec],
         out_specs=(out_spec, out_spec),
-        out_shape=(
-            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
-            jax.ShapeDtypeStruct((P, 2, L, N), jnp.uint32),
-        ),
+        out_shape=out_shape,
         interpret=interpret,
     )(sv_h, sv_l, db_hi, db_lo)
     return wide32.join_u64(out_h, out_l)
@@ -327,7 +402,7 @@ def contract_dim_auto(
         end = min(start + chunk, D)
         part = contract_dim_raw(
             sv_ntt[start:end],
-            db_hi[:, :, start:end],
+            db_hi[:, :, start:end] if db_hi is not None else None,
             db_lo[:, :, start:end],
             moduli,
             ratio_hi,
@@ -365,7 +440,7 @@ def contract_dim_auto_dyn(
         end = min(start + chunk, D)
         part = contract_dim_raw_dyn(
             sv_ntt[start:end],
-            db_hi[:, :, start:end],
+            db_hi[:, :, start:end] if db_hi is not None else None,
             db_lo[:, :, start:end],
             consts,
             max_bits,

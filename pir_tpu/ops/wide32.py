@@ -212,6 +212,33 @@ def sum96_over_axis(p2, p1, p0, axis):
     return s2, s1, s0
 
 
+def sum64_over_axis(p1, p0, axis):
+    """Exact sum of 2-word (u64) products along `axis` (< 2^16 terms).
+
+    The sub-32-bit-profile twin of sum96_over_axis: products of single-u32
+    residues are two words, so only four 16-bit half partial sums are
+    needed.  Returns (s2, s1, s0) u32 words of the 96-bit total.
+    """
+    def _s(x):
+        return jnp.sum(
+            x.astype(jnp.int32), axis=axis, dtype=jnp.int32
+        ).astype(jnp.uint32)
+
+    lo0 = _s(p0 & _M16)
+    hi0 = _s(p0 >> 16)
+    lo1 = _s(p1 & _M16)
+    hi1 = _s(p1 >> 16)
+    s0 = lo0 + (hi0 << 16)
+    c0 = (s0 < lo0).astype(jnp.uint32)
+    t0 = (hi0 >> 16) + c0
+    s1a = lo1 + t0
+    c1a = (s1a < lo1).astype(jnp.uint32)
+    s1 = s1a + (hi1 << 16)
+    c1b = (s1 < s1a).astype(jnp.uint32)
+    s2 = (hi1 >> 16) + c1a + c1b
+    return s2, s1, s0
+
+
 def barrett_reduce96(x2, x1, x0, q, ratio_hi, ratio_lo):
     """x mod q for a 96-bit x = (x2, x1, x0) u32 words; q < 2^62.
 

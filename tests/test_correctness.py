@@ -133,6 +133,44 @@ def test_roundtrip_reference_configs(
         _roundtrip(params, indices)
 
 
+# TPU-native sub-32-bit parameter profile (primes.tpu_coeff_modulus):
+# single-u32 residues drive the 4-mul scan kernel and 4-digit MXU NTT.
+# The benchmark-shaped configs of the reference matrix, decomp mode.
+TPU32_MATRIX = [
+    # (n, t_bits, elem, bpc, dbsize, d, indices)
+    (4096, 24, 288, 0, 500, 2, [9, 125, 499]),
+    (4096, 24, 64, 10, 1200, 1, [0, 777, 1199]),
+    (8192, 24, 0, 0, 87, 2, [5, 33, 86]),
+]
+
+
+@pytest.mark.slow
+@pytest.mark.parametrize("n,t_bits,elem,bpc,dbsize,d,indices", TPU32_MATRIX)
+def test_roundtrip_tpu32_profile(n, t_bits, elem, bpc, dbsize, d, indices):
+    params = create_pir_parameters(
+        dbsize,
+        elem,
+        d,
+        generate_encryption_params(n, t_bits, profile="tpu32"),
+        bits_per_coeff=bpc,
+    )
+    assert all(
+        q.bit_length() <= 32
+        for q in params.encryption_params.coeff_modulus
+    )
+    if elem == 0:
+        raw = generate_test_db(dbsize, params.bytes_per_item, 42)
+        db = PirDatabase.create(raw, params)
+        client = PirClient.create(params, seed=7)
+        server = PirServer.create(db, params)
+        response = server.process_request(client.create_request(indices))
+        results = client.process_response(indices, response)
+        for i, idx in enumerate(indices):
+            assert results[i] == raw[idx]
+    else:
+        _roundtrip(params, indices)
+
+
 @pytest.mark.parametrize("dbsize,elem,d,n,t_bits,bpc,indices", TINY_MATRIX)
 def test_roundtrip_tiny_seal_wire(dbsize, elem, d, n, t_bits, bpc, indices):
     """The tiny matrix again with every wire byte a SEAL 3.5 stream."""

@@ -64,3 +64,26 @@ def test_is_prime_edge_cases():
 def test_get_primes_exhaustion():
     with pytest.raises(ValueError):
         primes.get_primes(2 * 32768, 3, 1)
+
+
+@pytest.mark.parametrize("n", [4096, 8192, 16384])
+def test_tpu_coeff_modulus_profile(n):
+    """Sub-32-bit chain: security bound, noise parity, NTT-friendliness."""
+    chain = primes.tpu_coeff_modulus(n)
+    default = primes.default_coeff_modulus(n)
+    assert len(set(chain)) == len(chain)
+    for q in chain:
+        assert q.bit_length() <= 30  # value + digit bias stays under 2^32
+        assert (q - 1) % (2 * n) == 0
+        assert primes.is_prime(q)
+    total = sum(q.bit_length() for q in chain)
+    assert total <= primes.MAX_COEFF_MODULUS_BITS_128[n]
+    # at least the default chain's ciphertext-modulus noise capacity
+    assert sum(q.bit_length() for q in chain[:-1]) >= sum(
+        q.bit_length() for q in default[:-1]
+    )
+
+
+def test_tpu_coeff_modulus_needs_multi_prime_ring():
+    with pytest.raises(ValueError, match="tpu32"):
+        primes.tpu_coeff_modulus(2048)

@@ -153,12 +153,15 @@ def test_barrett_reduce96_random(rng):
     assert (_join(rh, rl) == vals % q).all()
 
 
-def test_pallas_raw_contract_matches_xla(rng):
+# (26, 27) ct-limb bits take the single-u32-residue 4-mul kernel
+# (_raw_kernel_u32, hi plane None); (26, 34) takes the 3-word 9-mul path.
+@pytest.mark.parametrize("q_bits", [(26, 27, 28), (26, 34, 36)])
+def test_pallas_raw_contract_matches_xla(rng, q_bits):
     from pir_tpu.core.context import PirContext
     from pir_tpu.ops import pallas_scan, scan
     from pir_tpu.testing.params import tiny_pir_params
 
-    ctx = PirContext(tiny_pir_params(n=256, t_bits=13))
+    ctx = PirContext(tiny_pir_params(n=256, t_bits=13, q_bits=q_bits))
     assert max(q.bit_length() for q in ctx.ct_moduli) <= 48
     P, D, L, N = 3, 7, ctx.L, ctx.n
     db = np.zeros((P, D, L, N), dtype=np.uint64)
@@ -178,12 +181,13 @@ def test_pallas_raw_contract_matches_xla(rng):
     assert (got == expect).all()
 
 
-def test_database_scan_decomp_planes_matches(rng):
+@pytest.mark.parametrize("q_bits", [(26, 27, 28), (26, 34, 36)])
+def test_database_scan_decomp_planes_matches(rng, q_bits):
     from pir_tpu.core.context import PirContext
     from pir_tpu.ops import pallas_scan, scan
     from pir_tpu.testing.params import tiny_pir_params
 
-    ctx = PirContext(tiny_pir_params(n=256, t_bits=13))
+    ctx = PirContext(tiny_pir_params(n=256, t_bits=13, q_bits=q_bits))
     dims = (3, 4)
     total = 12
     db = np.zeros((total, ctx.L, ctx.n), dtype=np.uint64)
