@@ -7,7 +7,10 @@ keys via the templated `SEALSerialize`/`SEALDeserialize`
 (pir/cpp/serialization.h:81-138).  Full proto-level interop therefore
 needs this codec for all four object kinds.
 
-Layout implemented (SEAL 3.5.x, compression mode "none"):
+Layout implemented (SEAL 3.5.x, compression mode "none") — the complete
+field-by-field derivation, including how each framing question was
+resolved, lives in SEAL_STREAM.md at the repo root; byte goldens in
+tests/test_seal_compat.py freeze it:
 
   SEALHeader (16 bytes, seal/serialization.h):
       u16  magic          = 0xA15E
@@ -17,34 +20,47 @@ Layout implemented (SEAL 3.5.x, compression mode "none"):
       u8   compr_mode     = 0 (none)
       u16  reserved       = 0
       u64  size           (total stream size incl. header)
-  EncryptionParameters payload (save_members):
+  SmallModulus stream (seal/smallmodulus.h save -> Serialization::Save):
+      SEALHeader + u64 value                       (24 bytes total)
+  EncryptionParameters payload (encryptionparams.cpp save_members):
       u8   scheme         (1 = BFV)
       u64  poly_modulus_degree
       u64  coeff_modulus_count
-      u64  coeff_modulus values ×count
-      u64  plain_modulus value
-  Ciphertext payload (save_members, seal/ciphertext.cpp):
+      SmallModulus stream ×count   (nested 24-byte streams, NOT raw u64s)
+      SmallModulus stream          (plain modulus; BFV only)
+  IntArray stream (seal/intarray.h save -> Serialization::Save):
+      SEALHeader + u64 word count + raw u64 words
+  Ciphertext payload (ciphertext.cpp save_members):
       parms_id (4 × u64 — blake2xb of the params, see parms_id_for)
       u8   is_ntt_form
       u64  size  (number of polynomials)
       u64  poly_modulus_degree
       u64  coeff_mod_count
-      u64  data word count, then raw u64 coefficient words
-           [poly][limb][coeff] — same memory layout the re-encoder reads
-           at pir/cpp/ct_reencoder.cpp:61
-  KSwitchKeys payload (GaloisKeys/RelinKeys, seal/kswitchkeys.cpp):
-      parms_id (4 × u64)
+      f64  scale          (IEEE double; always 1.0 for BFV — the CKKS
+                           member is written unconditionally)
+      IntArray stream     (nested header + count + words,
+                           [poly][limb][coeff] — the memory layout the
+                           re-encoder reads at pir/cpp/ct_reencoder.cpp:61)
+  KSwitchKeys payload (GaloisKeys/RelinKeys, kswitchkeys.cpp):
+      parms_id (4 × u64, key level — full modulus chain)
       u64  number of key rows
-      per row: u64 count, then `count` nested full PublicKey streams
-      (each a SEALHeader + Ciphertext payload)
+      per row: u64 count, then `count` nested Ciphertext streams
+      (PublicKey::save forwards to Ciphertext::save — one header each,
+       not two)
 
 **Validation caveat**: this container has zero egress and the reference
 (and SEAL) cannot be built here, so this codec is checked for
-self-consistency and structure, not against live SEAL streams.  The
-protocol does not depend on it: `pir_tpu.pir.wire` uses the native PTP1
-codec by default, and the `*_any` loaders accept either format, so
-SEAL-generated protos parse if this layout is right, while everything
-else keeps working if it is not.
+self-consistency, structure, and hand-derived byte goldens, not against
+live SEAL streams.  The protocol does not depend on it:
+`pir_tpu.pir.wire` uses the native PTP1 codec by default, and the
+`*_any` loaders accept either format, so SEAL-generated protos parse if
+this layout is right, while everything else keeps working if it is not.
+Known interop limit (documented in SEAL_STREAM.md): the reference client
+sends *seeded* evaluation keys (KeyGenerator::galois_keys returns
+Serializable — client.cpp:47-54); seeded ciphertext payloads carry a
+0xFFFF..FF marker word and a PRNG seed in place of c1 and are rejected
+here with a clear error (expanding them needs SEAL's BLAKE2 PRNG).
+Full (non-seeded) streams, which SEAL loads equally, are emitted.
 """
 
 from __future__ import annotations
@@ -61,13 +77,29 @@ COMPR_NONE = 0
 SCHEME_BFV = 1
 
 
+def _small_modulus_stream(value: int) -> bytes:
+    """SmallModulus::save: a full nested stream around one u64 value."""
+    header = struct.pack(
+        "<HBBBBHQ", SEAL_MAGIC, 0x10, 3, 5, COMPR_NONE, 0, 16 + 8
+    )
+    return header + struct.pack("<Q", value)
+
+
+def _read_small_modulus(b: bytes, off: int) -> tuple[int, int]:
+    hdr = parse_header(b[off:])
+    if hdr["size"] != 24:
+        raise ValueError("malformed SmallModulus stream")
+    (value,) = struct.unpack_from("<Q", b, off + 16)
+    return value, off + 24
+
+
 def save_encryption_params(ep: EncryptionParams) -> bytes:
     payload = struct.pack("<B", SCHEME_BFV)
     payload += struct.pack("<Q", ep.poly_modulus_degree)
     payload += struct.pack("<Q", len(ep.coeff_modulus))
     for m in ep.coeff_modulus:
-        payload += struct.pack("<Q", m)
-    payload += struct.pack("<Q", ep.plain_modulus)
+        payload += _small_modulus_stream(m)
+    payload += _small_modulus_stream(ep.plain_modulus)  # BFV only
     total = 16 + len(payload)
     header = struct.pack("<HBBBBHQ", SEAL_MAGIC, 0x10, 3, 5, COMPR_NONE, 0, total)
     return header + payload
@@ -113,9 +145,13 @@ def _load_encryption_params(b: bytes) -> EncryptionParams:
     off += 8
     (count,) = struct.unpack_from("<Q", b, off)
     off += 8
-    moduli = struct.unpack_from(f"<{count}Q", b, off)
-    off += 8 * count
-    (plain,) = struct.unpack_from("<Q", b, off)
+    if not 1 <= count <= 64:
+        raise ValueError("implausible coeff modulus count")
+    moduli = []
+    for _ in range(count):
+        value, off = _read_small_modulus(b, off)
+        moduli.append(value)
+    plain, off = _read_small_modulus(b, off)
     params = EncryptionParams(
         poly_modulus_degree=int(degree),
         plain_modulus=int(plain),
@@ -286,6 +322,9 @@ def _wrap(payload: bytes) -> bytes:
     return header + payload
 
 
+SEED_MARKER = 0xFFFFFFFFFFFFFFFF  # seeded-ciphertext indicator word
+
+
 def _ct_payload(ct: np.ndarray, ep: EncryptionParams, is_ntt: bool) -> bytes:
     ct = np.ascontiguousarray(ct, dtype=np.uint64)
     if ct.ndim != 3:
@@ -296,9 +335,59 @@ def _ct_payload(ct: np.ndarray, ep: EncryptionParams, is_ntt: bool) -> bytes:
     payload = struct.pack("<4Q", *parms_id_for(ep, int(L)))
     payload += struct.pack("<B", 1 if is_ntt else 0)
     payload += struct.pack("<QQQ", size, n, L)
-    payload += struct.pack("<Q", size * L * n)
-    payload += ct.astype("<u8").tobytes()
+    # scale_: CKKS member, written unconditionally by save_members; 1.0
+    # in BFV (SEAL_STREAM.md "the scale double")
+    payload += struct.pack("<d", 1.0)
+    # data_ is an IntArray saved through Serialization::Save: a full
+    # nested stream (header + word count + words), not bare words
+    words = struct.pack("<Q", size * L * n) + ct.astype("<u8").tobytes()
+    payload += _wrap(words)
     return payload
+
+
+def _parse_ct_payload(b: bytes, off: int, ep: EncryptionParams):
+    """Parse one Ciphertext save_members payload at `off`.
+
+    Returns (array u64[size, L, N], is_ntt, parms_id, next offset).
+    Every length field is bounds-checked against the buffer before use —
+    these bytes come off the wire.
+    """
+    if off + 32 + 1 + 24 + 8 > len(b):
+        raise ValueError("truncated SEAL ciphertext stream")
+    pid = struct.unpack_from("<4Q", b, off)
+    off += 32
+    (is_ntt,) = struct.unpack_from("<B", b, off)
+    off += 1
+    size, n, L = struct.unpack_from("<QQQ", b, off)
+    off += 24
+    (scale,) = struct.unpack_from("<d", b, off)
+    off += 8
+    if scale != 1.0:
+        raise ValueError(f"BFV ciphertexts require scale 1.0, got {scale}")
+    if n != ep.poly_modulus_degree:
+        raise ValueError("ciphertext degree does not match the parameters")
+    if not 1 <= L <= len(ep.coeff_modulus):
+        raise ValueError("ciphertext limb count outside the modulus chain")
+    if not 1 <= size <= 16:
+        raise ValueError("implausible ciphertext size")
+    # nested IntArray stream
+    arr_hdr = parse_header(b[off:])
+    if off + arr_hdr["size"] > len(b):
+        raise ValueError("IntArray stream exceeds the enclosing buffer")
+    (words,) = struct.unpack_from("<Q", b, off + 16)
+    if words != size * L * n:
+        raise ValueError("ciphertext data length mismatch")
+    if arr_hdr["size"] != 16 + 8 + 8 * words:
+        raise ValueError("IntArray stream size inconsistent with word count")
+    data = np.frombuffer(b, dtype="<u8", offset=off + 24, count=words)
+    end = off + arr_hdr["size"]
+    ct = data.reshape(int(size), int(L), int(n)).copy()
+    if size >= 2 and ct[1].flat[0] == SEED_MARKER:
+        raise ValueError(
+            "seeded SEAL ciphertext streams are not supported (c1 replaced "
+            "by a PRNG seed — see SEAL_STREAM.md); re-serialize in full form"
+        )
+    return ct, bool(is_ntt), tuple(int(x) for x in pid), end
 
 
 def save_ciphertext(
@@ -311,25 +400,12 @@ def save_ciphertext(
 def load_ciphertext(b: bytes, ep: EncryptionParams) -> np.ndarray:
     """SEAL 3.5 Ciphertext stream -> u64[size, L, N] (coeff form expected)."""
     hdr = parse_header(b)
-    if hdr["size"] != len(b):
-        b = b[: hdr["size"]]
-    off = 16
-    pid = struct.unpack_from("<4Q", b, off)
-    off += 32
-    (is_ntt,) = struct.unpack_from("<B", b, off)
-    off += 1
-    size, n, L = struct.unpack_from("<QQQ", b, off)
-    off += 24
-    (words,) = struct.unpack_from("<Q", b, off)
-    off += 8
-    if not 1 <= L <= len(ep.coeff_modulus):
-        raise ValueError("ciphertext limb count outside the modulus chain")
-    if tuple(pid) != tuple(parms_id_for(ep, int(L))):
+    if hdr["size"] > len(b):
+        raise ValueError("SEAL stream header claims more bytes than present")
+    b = b[: hdr["size"]]
+    ct, is_ntt, pid, _end = _parse_ct_payload(b, 16, ep)
+    if pid != tuple(parms_id_for(ep, int(ct.shape[1]))):
         raise ValueError("ciphertext parms_id does not match the parameters")
-    if words != size * L * n:
-        raise ValueError("ciphertext data length mismatch")
-    data = np.frombuffer(b, dtype="<u8", offset=off, count=words)
-    ct = data.reshape(int(size), int(L), int(n)).copy()
     if is_ntt:
         raise ValueError(
             "NTT-form SEAL ciphertexts are not accepted on the wire "
@@ -363,32 +439,55 @@ def save_kswitch_keys(
 def load_kswitch_keys(
     b: bytes, ep: EncryptionParams
 ) -> "list[list[np.ndarray]]":
-    """SEAL 3.5 KSwitchKeys stream -> rows of [2, Lp, N] NTT-form arrays."""
+    """SEAL 3.5 KSwitchKeys stream -> rows of [2, Lp, N] NTT-form arrays.
+
+    Every nested ciphertext's parms_id is validated against the key level
+    (full modulus chain) and every length field is bounds-checked — the
+    reference's status-checked loaders (serialization.cpp:32-55) reject
+    malformed streams the same way.
+    """
     hdr = parse_header(b)
+    if hdr["size"] > len(b):
+        raise ValueError("SEAL stream header claims more bytes than present")
+    b = b[: hdr["size"]]
     off = 16
+    if off + 40 > len(b):
+        raise ValueError("truncated KSwitchKeys stream")
     pid = struct.unpack_from("<4Q", b, off)
     off += 32
-    if tuple(pid) != tuple(parms_id_for(ep)):
+    key_pid = tuple(parms_id_for(ep))
+    if tuple(pid) != key_pid:
         raise ValueError("kswitch keys parms_id does not match the parameters")
     (nrows,) = struct.unpack_from("<Q", b, off)
     off += 8
+    if nrows > ep.poly_modulus_degree:
+        raise ValueError("implausible KSwitchKeys row count")
+    lp = len(ep.coeff_modulus)
     rows = []
     for _ in range(nrows):
+        if off + 8 > len(b):
+            raise ValueError("truncated KSwitchKeys stream")
         (count,) = struct.unpack_from("<Q", b, off)
         off += 8
+        if count > 64:
+            raise ValueError("implausible key-row ciphertext count")
         row = []
         for _ in range(count):
             sub_hdr = parse_header(b[off:])
-            sub = b[off : off + sub_hdr["size"]]
-            soff = 16 + 32  # header + parms_id (trusted: same stream)
-            (is_ntt,) = struct.unpack_from("<B", sub, soff)
-            soff += 1
-            size, n, L = struct.unpack_from("<QQQ", sub, soff)
-            soff += 24
-            (words,) = struct.unpack_from("<Q", sub, soff)
-            soff += 8
-            data = np.frombuffer(sub, dtype="<u8", offset=soff, count=words)
-            row.append(data.reshape(int(size), int(L), int(n)).copy())
+            if off + sub_hdr["size"] > len(b):
+                raise ValueError("nested key stream exceeds the buffer")
+            ct, is_ntt, sub_pid, end = _parse_ct_payload(b, off + 16, ep)
+            if end != off + sub_hdr["size"]:
+                raise ValueError("nested key stream size mismatch")
+            if sub_pid != key_pid:
+                raise ValueError(
+                    "key ciphertext parms_id does not match the key level"
+                )
+            if not is_ntt or ct.shape[1] != lp:
+                raise ValueError(
+                    "key ciphertexts must be NTT form over the full chain"
+                )
+            row.append(ct)
             off += sub_hdr["size"]
         rows.append(row)
     return rows

@@ -124,7 +124,7 @@ def test_ciphertext_stream_wrong_params_rejected():
     ep = tiny_encryption_params(n=64)
     other = tiny_encryption_params(n=128)
     blob = seal_compat.save_ciphertext(_random_ct(ep), ep)
-    with pytest.raises(ValueError, match="parms_id"):
+    with pytest.raises(ValueError, match="degree|parms_id"):
         seal_compat.load_ciphertext(blob, other)
 
 
@@ -177,3 +177,128 @@ def test_galois_rows_validate_elements():
     with pytest.raises(ValueError, match="galois element"):
         seal_compat.galois_rows_from_dict({4: np.zeros((1, 2, 3, 64))}, 64)
     assert seal_compat.galois_rows_from_dict({}, 64) == []
+
+
+# ---------------------------------------------------------------------------
+# Hand-derived byte goldens — the layout contract of SEAL_STREAM.md frozen
+# field by field, independent of the codec's own writer.
+# ---------------------------------------------------------------------------
+
+
+def _hdr(total: int) -> bytes:
+    return struct.pack("<HBBBBHQ", 0xA15E, 0x10, 3, 5, 0, 0, total)
+
+
+def test_encryption_params_byte_golden():
+    ep = tiny_encryption_params(n=64)
+    # hand-assemble: header | scheme | degree | count | SmallModulus
+    # streams (nested 24-byte each) | plain SmallModulus stream
+    body = struct.pack("<B", 1) + struct.pack("<QQ", 64, 3)
+    for m in ep.coeff_modulus:
+        body += _hdr(24) + struct.pack("<Q", m)
+    body += _hdr(24) + struct.pack("<Q", ep.plain_modulus)
+    expected = _hdr(16 + len(body)) + body
+    assert seal_compat.save_encryption_params(ep) == expected
+    assert seal_compat.load_encryption_params(expected) == ep
+
+
+def test_ciphertext_byte_golden():
+    ep = tiny_encryption_params(n=64)
+    L, n = len(ep.coeff_modulus), 64
+    rng = np.random.default_rng(3)
+    ct = np.stack(
+        [
+            np.stack(
+                [rng.integers(0, q, n, dtype=np.uint64) for q in ep.coeff_modulus]
+            )
+            for _ in range(2)
+        ]
+    )
+    words = 2 * L * n
+    # hand-assemble: header | parms_id | is_ntt | size | degree |
+    # coeff_mod_count | scale 1.0 double | IntArray stream (header |
+    # word count | words)
+    arr = _hdr(16 + 8 + 8 * words) + struct.pack("<Q", words)
+    arr += ct.astype("<u8").tobytes()
+    body = struct.pack("<4Q", *seal_compat.parms_id_for(ep, L))
+    body += struct.pack("<B", 0)
+    body += struct.pack("<QQQ", 2, n, L)
+    body += struct.pack("<d", 1.0)
+    body += arr
+    expected = _hdr(16 + len(body)) + body
+    assert seal_compat.save_ciphertext(ct, ep) == expected
+    assert np.array_equal(seal_compat.load_ciphertext(expected, ep), ct)
+
+
+# ---------------------------------------------------------------------------
+# Loader hardening: malformed length fields must raise, never crash or
+# over-read (serialization.cpp:32-55 status-checked loader parity).
+# ---------------------------------------------------------------------------
+
+
+def _valid_ct_blob():
+    ep = tiny_encryption_params(n=64)
+    return ep, seal_compat.save_ciphertext(_random_ct(ep), ep)
+
+
+def test_ciphertext_oversized_header_size_rejected():
+    ep, blob = _valid_ct_blob()
+    bad = bytearray(blob)
+    struct.pack_into("<Q", bad, 8, len(blob) + 1000)  # header size lies
+    with pytest.raises(ValueError, match="more bytes than present"):
+        seal_compat.load_ciphertext(bytes(bad), ep)
+
+
+def test_ciphertext_bad_word_count_rejected():
+    ep, blob = _valid_ct_blob()
+    bad = bytearray(blob)
+    # IntArray word count at header(16) + parms_id(32) + 1 + 24 + 8 + 16
+    struct.pack_into("<Q", bad, 16 + 32 + 1 + 24 + 8 + 16, 1 << 40)
+    with pytest.raises(ValueError, match="length mismatch|exceeds"):
+        seal_compat.load_ciphertext(bytes(bad), ep)
+
+
+def test_ciphertext_bad_scale_rejected():
+    ep, blob = _valid_ct_blob()
+    bad = bytearray(blob)
+    struct.pack_into("<d", bad, 16 + 32 + 1 + 24, 2.0)
+    with pytest.raises(ValueError, match="scale"):
+        seal_compat.load_ciphertext(bytes(bad), ep)
+
+
+def test_seeded_ciphertext_rejected_with_clear_error():
+    ep = tiny_encryption_params(n=64)
+    ct = _random_ct(ep)
+    ct[1].flat[0] = np.uint64(seal_compat.SEED_MARKER)
+    blob = seal_compat.save_ciphertext(ct, ep)
+    with pytest.raises(ValueError, match="seeded"):
+        seal_compat.load_ciphertext(blob, ep)
+
+
+def test_kswitch_bad_nested_length_rejected():
+    ep = tiny_encryption_params(n=64)
+    rng = np.random.default_rng(5)
+    Lp, n = len(ep.coeff_modulus), 64
+    row = [
+        np.stack(
+            [
+                np.stack(
+                    [rng.integers(0, q, n, dtype=np.uint64) for q in ep.coeff_modulus]
+                )
+                for _ in range(2)
+            ]
+        )
+    ]
+    blob = seal_compat.save_kswitch_keys([row], ep)
+    loaded = seal_compat.load_kswitch_keys(blob, ep)
+    assert len(loaded) == 1 and np.array_equal(loaded[0][0], row[0])
+    bad = bytearray(blob)
+    # row-count field right after header + parms_id
+    struct.pack_into("<Q", bad, 16 + 32, 1 << 50)
+    with pytest.raises(ValueError, match="implausible"):
+        seal_compat.load_kswitch_keys(bytes(bad), ep)
+    bad2 = bytearray(blob)
+    # per-row ciphertext count (right after header + parms_id + row count)
+    struct.pack_into("<Q", bad2, 16 + 32 + 8, 1 << 20)
+    with pytest.raises(ValueError, match="implausible|truncated|exceeds"):
+        seal_compat.load_kswitch_keys(bytes(bad2), ep)

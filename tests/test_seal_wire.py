@@ -129,7 +129,8 @@ def test_seal_mode_rejects_compressed_queries():
 def test_ciphertext_stream_byte_layout():
     """Pin the exact framing of a SEAL 3.5 Ciphertext stream.
 
-    Layout (seal/serialization.h SEALHeader + ciphertext save_members):
+    Layout (seal/serialization.h SEALHeader + ciphertext save_members;
+    full derivation in SEAL_STREAM.md):
       [0:2)   magic 0xA15E        [2]     header size 0x10
       [3]     major 3             [4]     minor 5
       [5]     compr none (0)      [6:8)   reserved 0
@@ -137,8 +138,10 @@ def test_ciphertext_stream_byte_layout():
       [16:48) parms_id (4 x u64, level of the ct's limb count)
       [48]    is_ntt_form byte
       [49:57) u64 size (polys)    [57:65) u64 poly_modulus_degree
-      [65:73) u64 coeff_mod_count [73:81) u64 data word count
-      [81:)   raw little-endian u64 words, [poly][limb][coeff] order
+      [65:73) u64 coeff_mod_count [73:81) f64 scale (1.0 for BFV)
+      [81:97) nested IntArray SEALHeader (data_.save)
+      [97:105) u64 data word count
+      [105:)  raw little-endian u64 words, [poly][limb][coeff] order
     """
     ep = tiny_pir_params(dbsize=10, bytes_per_item=8, n=64).encryption_params
     L = len(ep.coeff_modulus) - 1  # data level
@@ -153,10 +156,14 @@ def test_ciphertext_stream_byte_layout():
     assert struct.unpack_from("<4Q", b, 16) == seal_compat.parms_id_for(ep, L)
     assert b[48] == 0  # coefficient form
     assert struct.unpack_from("<QQQ", b, 49) == (2, n, L)
-    assert struct.unpack_from("<Q", b, 73)[0] == 2 * L * n
-    data = np.frombuffer(b, dtype="<u8", offset=81)
+    assert struct.unpack_from("<d", b, 73)[0] == 1.0  # scale_ (CKKS member)
+    # nested IntArray stream: own header, then word count, then words
+    assert struct.unpack_from("<H", b, 81)[0] == 0xA15E
+    assert struct.unpack_from("<Q", b, 89)[0] == 16 + 8 + 8 * 2 * L * n
+    assert struct.unpack_from("<Q", b, 97)[0] == 2 * L * n
+    data = np.frombuffer(b, dtype="<u8", offset=105)
     np.testing.assert_array_equal(data, ct.ravel())  # [poly][limb][coeff]
-    assert len(b) == 81 + 8 * 2 * L * n
+    assert len(b) == 105 + 8 * 2 * L * n
 
 
 def test_kswitch_stream_byte_layout():
@@ -199,17 +206,23 @@ def test_kswitch_stream_byte_layout():
 
 def test_encryption_params_stream_byte_layout():
     """Pin the EncryptionParameters stream: scheme byte, u64 degree, u64
-    modulus count, moduli, u64 plain modulus (parameters.cpp:99-100)."""
+    modulus count, then nested 24-byte SmallModulus streams for each
+    coefficient modulus and the plain modulus (parameters.cpp:99-100;
+    SEAL saves SmallModulus objects through Serialization::Save, so each
+    carries its own SEALHeader — SEAL_STREAM.md)."""
     ep = tiny_pir_params(dbsize=10, bytes_per_item=8, n=64).encryption_params
     b = seal_compat.save_encryption_params(ep)
     assert b[16] == 1  # BFV
     assert struct.unpack_from("<Q", b, 17)[0] == ep.poly_modulus_degree
     count = struct.unpack_from("<Q", b, 25)[0]
     assert count == len(ep.coeff_modulus)
-    moduli = struct.unpack_from(f"<{count}Q", b, 33)
-    assert moduli == ep.coeff_modulus
-    assert struct.unpack_from("<Q", b, 33 + 8 * count)[0] == ep.plain_modulus
-    assert len(b) == 41 + 8 * count
+    off = 33
+    for expect in ep.coeff_modulus + (ep.plain_modulus,):
+        assert struct.unpack_from("<H", b, off)[0] == 0xA15E
+        assert struct.unpack_from("<Q", b, off + 8)[0] == 24
+        assert struct.unpack_from("<Q", b, off + 16)[0] == expect
+        off += 24
+    assert len(b) == off
 
 
 def test_data_level_parms_id_differs_from_key_level():
