@@ -194,6 +194,174 @@ class PirDatabase:
             num_items=self.params.num_items,
         )
 
+    # ------------------------------------------------------------------
+    # Streaming sharded ingest + per-shard checkpoints — the 16M-item
+    # rung (BASELINE config 5): a DB whose encoded form exceeds one
+    # chip's HBM is ingested in constant memory and persisted as one
+    # file per db-mesh shard, each feeding its own device/process.
+    # ------------------------------------------------------------------
+    def shard_row_ranges(self, n_shards: int) -> "list[tuple[int, int]]":
+        """Contiguous plaintext-row range [start, end) owned by each
+        db-mesh shard: the first hypercube dimension zero-padded to the
+        shard count and split evenly — the identical split
+        parallel/sharded.make_sharded_pipeline applies on the "db" axis,
+        so shard s's file is exactly device s's operand slice."""
+        dims = self.params.dimensions
+        d0 = dims[0]
+        block = 1
+        for d in dims[1:]:
+            block *= d
+        d0p = -(-d0 // n_shards) * n_shards
+        rows = (d0p // n_shards) * block
+        num_pt = self.params.num_pt
+        return [
+            (min(s * rows, num_pt), min((s + 1) * rows, num_pt))
+            for s in range(n_shards)
+        ]
+
+    @classmethod
+    def ingest_shards(
+        cls,
+        raw_iter,
+        params: PirParams,
+        out_dir,
+        n_shards: int,
+        chunk_pts: int = 2048,
+    ) -> "list[str]":
+        """Stream raw items into per-shard encoded checkpoints.
+
+        raw_iter yields `params.num_items` byte strings of
+        `params.bytes_per_item` each (any iterable — a generator reading
+        from disk keeps peak memory at one chunk).  Items are packed
+        `chunk_pts` plaintexts at a time through the native bulk encoder
+        (pir_tpu/native/encoder.cpp; numpy fallback transparently) and
+        written straight into per-shard .npy memmaps, so a 16M-item DB
+        (≈0.5M plaintexts, 16 GB encoded) never materializes in RAM.
+        Returns the shard file paths; `meta.json` records the layout.
+        Bit-exact with populate_strings (same encoder, same row order).
+        """
+        import json
+        import pathlib
+
+        out_dir = pathlib.Path(out_dir)
+        out_dir.mkdir(parents=True, exist_ok=True)
+        db = cls(params)
+        p = params
+        enc = StringEncoder(db.ctx.n, db.ctx.t, p.bits_per_coeff)
+        ranges = db.shard_row_ranges(n_shards)
+        paths = []
+        maps = []
+        for s, (r0, r1) in enumerate(ranges):
+            path = out_dir / f"shard_{s:03d}.npy"
+            paths.append(str(path))
+            maps.append(
+                np.lib.format.open_memmap(
+                    path, mode="w+", dtype=np.uint64,
+                    shape=(max(r1 - r0, 1), db.ctx.n),
+                )
+                if r1 > r0
+                else None
+            )
+        bytes_per_pt = p.items_per_plaintext * p.bytes_per_item
+
+        def write_rows(row0: int, pts: np.ndarray) -> None:
+            # scatter a contiguous global row block into its shard files
+            row1 = row0 + pts.shape[0]
+            for s, (r0, r1) in enumerate(ranges):
+                lo, hi = max(row0, r0), min(row1, r1)
+                if lo < hi:
+                    maps[s][lo - r0 : hi - r0] = pts[lo - row0 : hi - row0]
+
+        it = iter(raw_iter)
+        row = 0
+        taken = 0
+        from pir_tpu import native
+
+        use_native = native.available()
+        while row < p.num_pt:
+            n_rows = min(chunk_pts, p.num_pt - row)
+            want = n_rows * p.items_per_plaintext
+            items = []
+            while len(items) < want and taken < p.num_items:
+                item = next(it)
+                if len(item) != p.bytes_per_item:
+                    raise ValueError(
+                        f"item {taken} has {len(item)} bytes, expected "
+                        f"{p.bytes_per_item}"
+                    )
+                items.append(bytes(item))
+                taken += 1
+            buffer = b"".join(items)
+            buffer += b"\0" * (n_rows * bytes_per_pt - len(buffer))
+            if use_native:
+                pts = native.pack_db(
+                    buffer, n_rows, bytes_per_pt, enc.bits_per_coeff, db.ctx.n
+                )
+            else:
+                pts = np.zeros((n_rows, db.ctx.n), dtype=np.uint64)
+                for i in range(n_rows):
+                    chunk = items[
+                        i * p.items_per_plaintext : (i + 1)
+                        * p.items_per_plaintext
+                    ]
+                    if chunk:
+                        pts[i] = enc.encode_many(chunk)
+            write_rows(row, pts)
+            row += n_rows
+        if taken != p.num_items:
+            raise ValueError(
+                f"iterator yielded {taken} items, params say {p.num_items}"
+            )
+        for m in maps:
+            if m is not None:
+                m.flush()
+        (out_dir / "meta.json").write_text(
+            json.dumps(
+                {
+                    "num_items": p.num_items,
+                    "num_pt": p.num_pt,
+                    "n_shards": n_shards,
+                    "dimensions": list(p.dimensions),
+                    "row_ranges": ranges,
+                }
+            )
+        )
+        return paths
+
+    @classmethod
+    def load_shard_rows(cls, out_dir, shard: int) -> np.ndarray:
+        """One shard's encoded plaintext rows (u64[rows, N] memmap) — the
+        per-process load in a multi-host deployment; NTT/planes prep for
+        the shard is one jit pass over exactly these rows."""
+        import pathlib
+
+        return np.load(
+            pathlib.Path(out_dir) / f"shard_{shard:03d}.npy", mmap_mode="r"
+        )
+
+    @classmethod
+    def load_shards(
+        cls, out_dir, params: PirParams, scan_impl: str = "auto"
+    ) -> "PirDatabase":
+        """Reassemble a full database from per-shard checkpoints
+        (single-process path; bit-exact with a direct create())."""
+        import json
+        import pathlib
+
+        out_dir = pathlib.Path(out_dir)
+        meta = json.loads((out_dir / "meta.json").read_text())
+        if meta["num_items"] != params.num_items or tuple(
+            meta["dimensions"]
+        ) != tuple(params.dimensions):
+            raise ValueError("shard checkpoint does not match parameters")
+        db = cls(params, scan_impl=scan_impl)
+        pts = np.zeros((params.num_pt, db.ctx.n), dtype=np.uint64)
+        for s, (r0, r1) in enumerate(meta["row_ranges"]):
+            if r1 > r0:
+                pts[r0:r1] = cls.load_shard_rows(out_dir, s)[: r1 - r0]
+        db._finalize(pts)
+        return db
+
     @classmethod
     def load(cls, path, params: PirParams, scan_impl: str = "auto") -> "PirDatabase":
         data = np.load(path)
@@ -253,8 +421,12 @@ class PirDatabase:
 
                 return run
 
+            # dimensions ride in the cache name: contexts are shared per
+            # PirParams, but a directly-constructed context could serve
+            # databases with different dimension splits of the same sum
             return self.ctx.maybe_jitted(
-                "db_multiply_ctmult", build, selection_vector, self.db_ntt, rk
+                f"db_multiply_ctmult_{self.params.dimensions}",
+                build, selection_vector, self.db_ntt, rk,
             )
         if decryptor is not None:
             # noise-budget probe decrypts intermediates: stay eager
@@ -290,7 +462,7 @@ class PirDatabase:
             return run
 
         return self.ctx.maybe_jitted(
-            "db_multiply_decomp",
+            f"db_multiply_decomp_{self.params.dimensions}",
             build,
             selection_vector,
             self.db_ntt,
