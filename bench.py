@@ -36,6 +36,11 @@ ITEM_SIZE = 288
 DIMENSIONS = 2
 POLY_DEGREE = 4096
 PLAIN_BITS = 24
+# parameter profile for the accelerator stack: "seal" (BFVDefault chain,
+# comparable to the reference bit-for-bit) or "tpu32" (sub-32-bit chain,
+# same security + workload, the TPU-native parameterization — see
+# primes.tpu_coeff_modulus).  The CPU denominator always uses "seal".
+PROFILE = os.environ.get("PIR_BENCH_PROFILE", "seal")
 
 _T0 = time.perf_counter()
 BUDGET = float(os.environ.get("PIR_BENCH_BUDGET", 480))
@@ -97,7 +102,8 @@ def build_stack(db_size):
     from pir_tpu.pir.server import PirServer
 
     params = create_pir_parameters(
-        db_size, ITEM_SIZE, DIMENSIONS, generate_encryption_params(POLY_DEGREE, PLAIN_BITS)
+        db_size, ITEM_SIZE, DIMENSIONS,
+        generate_encryption_params(POLY_DEGREE, PLAIN_BITS, profile=PROFILE),
     )
     rng = np.random.default_rng(42)
     # one shared random payload pool per item keeps DB generation fast at 2^16+
@@ -198,6 +204,7 @@ def cpu_baseline(db_size: int) -> float:
     env["PYTHONPATH"] = str(REPO)  # drop the axon sitecustomize
     env["JAX_PLATFORMS"] = "cpu"
     env["PIR_BENCH_DB_SIZE"] = str(db_size)
+    env["PIR_BENCH_PROFILE"] = "seal"  # denominator: reference-shaped params
     try:
         out = subprocess.run(
             [sys.executable, str(REPO / "bench.py"), "--cpu-baseline-child"],
@@ -251,10 +258,11 @@ _EMITTED: list = []  # (db_size, json_line) — for the final headline re-print
 def _emit(db_size: int, qps: float, backend_note: str = "") -> None:
     base = cpu_baseline(db_size)
     vs = qps / base if base > 0 else 0.0
+    prof = "" if PROFILE == "seal" else f", {PROFILE} profile"
     line = json.dumps(
         {
             "metric": f"server ProcessRequest throughput, {db_size}-item DB, "
-            f"288B items, d=2, N=4096 (decomp mode){backend_note}",
+            f"288B items, d=2, N=4096 (decomp mode{prof}){backend_note}",
             "value": round(qps, 4),
             "unit": "queries/sec",
             "vs_baseline": round(vs, 3),

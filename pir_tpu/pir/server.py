@@ -316,30 +316,55 @@ class PirServer:
         jobs.append((self._scan_jit(), (sv_zero, rk_zero, *self._db_operands())))
         import os
 
-        workers = int(os.environ.get("PIR_WARM_WORKERS", 8))
+        debug = os.environ.get("PIR_WARM_DEBUG")
+
+        def run_job(i, f, a):
+            import sys
+            import time
+
+            t0 = time.perf_counter()
+            jax.block_until_ready(f(*a))
+            if debug:
+                print(
+                    f"[warm] job {i}/{len(jobs)} done in "
+                    f"{time.perf_counter() - t0:.1f}s",
+                    file=sys.stderr,
+                    flush=True,
+                )
+
+        # all stage compiles go to the (remote) compile service at once —
+        # the local worker threads only wait, so more workers than cores
+        # is right; default covers every job concurrently
+        workers = int(os.environ.get("PIR_WARM_WORKERS", max(8, len(jobs))))
         if workers <= 1:
-            for f, a in jobs:
-                jax.block_until_ready(f(*a))
+            for i, (f, a) in enumerate(jobs):
+                run_job(i, f, a)
         else:
             with ThreadPoolExecutor(max_workers=workers) as ex:
                 futures = [
-                    ex.submit(lambda f=f, a=a: jax.block_until_ready(f(*a)))
-                    for f, a in jobs
+                    ex.submit(run_job, i, f, a)
+                    for i, (f, a) in enumerate(jobs)
                 ]
                 for fut in futures:
                     fut.result()
-        # one dummy pass through the staged runner compiles the residual
-        # tiny eager ops (slices/concat) while the big stages hit the cache
-        q_zero = jnp.zeros((num_query_cts, 2, ctx.L, ctx.n), jnp.uint64)
-        sv = self._expand_staged(q_zero, gk_zero)
-        jax.block_until_ready(self._scan_jit()(sv, rk_zero, *self._db_operands()))
+        # one dummy pass through the EXACT serve path (packed join/split,
+        # staged expansion glue, scan, reply fetch) so the first real
+        # request compiles nothing at all
+        import numpy as np
+
+        q_zero = np.zeros((num_query_cts, 2, ctx.L, ctx.n), np.uint64)
+        handle = self._run_query_split_device_inner(q_zero, gk_zero, rk_zero)
+        self._fetch_reply(handle)
         self._warmed_shapes.add(key)
 
     def _run_query_split_device(self, cts, gk_arrays, rk):
         """One query through the split-stage executables; device handles."""
+        self._warm_split(cts.shape[0])
+        return self._run_query_split_device_inner(cts, gk_arrays, rk)
+
+    def _run_query_split_device_inner(self, cts, gk_arrays, rk):
         import numpy as np
 
-        self._warm_split(cts.shape[0])
         if self._hi_dtype is not None:
             lo, hi = packing.split_host(np.asarray(cts), self._hi_dtype)
             q = self._join_jit()(jnp.asarray(lo), jnp.asarray(hi))
