@@ -18,6 +18,19 @@ import jax
 jax.config.update("jax_platforms", "cpu")
 jax.config.update("jax_enable_x64", True)
 
+# Persistent XLA compile cache: test wall time is dominated by CPU jit
+# compiles that are identical run to run (same programs, same shapes) —
+# cache them next to the bench cache (gitignored, platform-keyed, safe
+# to share the directory).  PIR_JAX_CACHE="" disables.
+_cache_dir = os.environ.get(
+    "PIR_JAX_CACHE",
+    os.path.join(os.path.dirname(__file__), "..", "benchmarks", ".jax_cache"),
+)
+if _cache_dir:
+    os.makedirs(_cache_dir, exist_ok=True)
+    jax.config.update("jax_compilation_cache_dir", _cache_dir)
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.5)
+
 import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
