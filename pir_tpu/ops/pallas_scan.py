@@ -108,8 +108,10 @@ def _raw_kernel(svh, svl, dbh, dbl, outh, outl, *, moduli, ratios):
         wh = dbh[0, li].astype(jnp.uint32)[None]  # [1, D, bn]
         wl = dbl[0, li][None]
         p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
-        s2, s1, s0 = wide32.sum96_over_axis(p2, p1, p0, axis=1)  # [2, bn]
         q = int(moduli[li])
+        s2, s1, s0 = wide32.sum96_over_axis(
+            p2, p1, p0, axis=1, p2_max_bits=max(0, 2 * q.bit_length() - 64)
+        )  # [2, bn]
         rhi, rlo = ratios[li]
         oh, ol = wide32.barrett_reduce96(s2, s1, s0, q, rhi, rlo)
         outh[0, :, li] = oh
@@ -199,7 +201,7 @@ def _raw_kernel_u32_dyn(consts, svl, dbl, outh, outl, *, L):
         outl[0, :, li] = ol
 
 
-def _raw_kernel_dyn(consts, svh, svl, dbh, dbl, outh, outl, *, L):
+def _raw_kernel_dyn(consts, svh, svl, dbh, dbl, outh, outl, *, L, max_bits=48):
     """_raw_kernel with per-limb modulus constants as a traced SMEM table
     (u32[L, 6]) instead of baked-in Python ints — required under
     shard_map limb sharding, where each device owns different moduli but
@@ -210,7 +212,9 @@ def _raw_kernel_dyn(consts, svh, svl, dbh, dbl, outh, outl, *, L):
         wh = dbh[0, li].astype(jnp.uint32)[None]
         wl = dbl[0, li][None]
         p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
-        s2, s1, s0 = wide32.sum96_over_axis(p2, p1, p0, axis=1)
+        s2, s1, s0 = wide32.sum96_over_axis(
+            p2, p1, p0, axis=1, p2_max_bits=max(0, 2 * max_bits - 64)
+        )
         oh, ol = wide32.barrett_reduce96_w(
             s2, s1, s0,
             consts[li, 0], consts[li, 1], consts[li, 2],
@@ -278,7 +282,7 @@ def contract_dim_raw_dyn(
         )(consts, sv_l, db_lo)
         return wide32.join_u64(out_h, out_l)
     sv_h, sv_l = wide32.split_u64(sv_t)
-    kernel = functools.partial(_raw_kernel_dyn, L=L)
+    kernel = functools.partial(_raw_kernel_dyn, L=L, max_bits=max_bits)
     out_h, out_l = pl.pallas_call(
         kernel,
         grid=grid,

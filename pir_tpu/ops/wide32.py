@@ -178,12 +178,18 @@ def acc96_add(a2, a1, a0, p2, p1, p0):
     return s2, s1b, s0
 
 
-def sum96_over_axis(p2, p1, p0, axis):
+def sum96_over_axis(p2, p1, p0, axis, p2_max_bits: int = 32):
     """Exact sum of 3-word products along `axis` (< 2^16 terms).
 
     Each u32 word is split into 16-bit halves so the per-half partial sums
     stay exact in u32, then the halves are recombined with carries.
     Returns (s2, s1, s0) u32 words of the 96-bit total (must not overflow).
+
+    p2_max_bits: static bound on the top word's width.  Products of
+    b-bit moduli have p2 < 2^(2b-64); for b <= 40 that is <= 16 bits, so
+    the top word's high half is identically zero and its partial sum,
+    shift, and recombination carries drop out (~3 of the ~29 u32
+    ops/MAC the kernel spends).
     """
     # Mosaic has no u64 and no unsigned reductions: sum the halves as i32
     # (two's-complement wrap == u32 wrap) and reinterpret back.  The halves
@@ -197,8 +203,12 @@ def sum96_over_axis(p2, p1, p0, axis):
     hi0 = _s(p0 >> 16)
     lo1 = _s(p1 & _M16)
     hi1 = _s(p1 >> 16)
-    lo2 = _s(p2 & _M16)
-    hi2 = _s(p2 >> 16)
+    if p2_max_bits <= 16:
+        lo2 = _s(p2)  # hi half identically zero: one sum, no split
+        hi2 = None
+    else:
+        lo2 = _s(p2 & _M16)
+        hi2 = _s(p2 >> 16)
     # word 0 = lo0 + (hi0 << 16); carries ripple upward
     s0 = lo0 + (hi0 << 16)
     c0 = (s0 < lo0).astype(jnp.uint32)
@@ -208,7 +218,7 @@ def sum96_over_axis(p2, p1, p0, axis):
     s1 = s1a + (hi1 << 16)
     c1b = (s1 < s1a).astype(jnp.uint32)
     t1 = (hi1 >> 16) + c1a + c1b
-    s2 = lo2 + (hi2 << 16) + t1
+    s2 = lo2 + t1 if hi2 is None else lo2 + (hi2 << 16) + t1
     return s2, s1, s0
 
 
