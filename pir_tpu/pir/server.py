@@ -465,6 +465,19 @@ class PirServer:
             db_shoup=self.db.db_ntt_shoup, reply_limbs=self.reply_limbs,
         )
 
+    @functools.lru_cache(maxsize=1)
+    def _mesh_pipeline_packed(self):
+        """The mesh pipeline with packed-transfer endpoints (same
+        (u32 lo, narrow hi) wire trick as the single-chip path)."""
+        pipe = self._mesh_pipeline()
+        dt = self._hi_dtype
+
+        def run(q_lo, q_hi, gk_arrays):
+            q = packing.join_device(q_lo, q_hi)
+            return packing.split_device(pipe(q, gk_arrays), dt)
+
+        return jax.jit(run)
+
     def _process_request_async_mesh(self, request: pb.Request):
         import numpy as np
 
@@ -483,7 +496,13 @@ class PirServer:
         q = np.stack(stacks)
         batch = dict(self.mesh.shape).get("batch", 1)
         q = sharded.pad_axis(q, 0, batch)
-        replies = self._mesh_pipeline()(jnp.asarray(q), gk_arrays)
+        if self._hi_dtype is not None:
+            lo, hi = packing.split_host(q, self._hi_dtype)
+            replies = self._mesh_pipeline_packed()(
+                jnp.asarray(lo), jnp.asarray(hi), gk_arrays
+            )
+        else:
+            replies = self._mesh_pipeline()(jnp.asarray(q), gk_arrays)
         return ("mesh", replies, len(stacks), seal_ep)
 
     def process_request_async(self, request: pb.Request):
@@ -520,7 +539,10 @@ class PirServer:
             _, replies, count, seal_ep = pending
             response = pb.Response()
             if count:
-                host = jax.device_get(replies)
+                if self._hi_dtype is not None:
+                    host = packing.join_host(*jax.device_get(replies))
+                else:
+                    host = jax.device_get(replies)
                 for qi in range(count):
                     wire.save_ciphertexts(
                         host[qi], response.reply.add(), seal_ep=seal_ep
