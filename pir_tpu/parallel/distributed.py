@@ -101,3 +101,72 @@ def replicate_to_mesh(x, mesh: Mesh):
     x = np.asarray(x)
     sharding = NamedSharding(mesh, P())
     return jax.make_array_from_callback(x.shape, sharding, lambda idx: x[idx])
+
+
+def planes_from_shard_rows(params, ctx, local_pts, mesh: Mesh, row_start: int):
+    """This process's DB shard -> its slice of the global planes operand.
+
+    The multi-host ingest contract (BASELINE config 5): each process
+    loads ONLY its own plaintext rows (PirDatabase.load_shard_rows over
+    the per-shard checkpoints written by ingest_shards), NTT-transforms
+    and plane-splits them locally, and assembles the global
+    ``db_planes`` operand for make_sharded_pipeline without any process
+    ever holding the full database.
+
+    local_pts: u64[rows_local, N] — the contiguous plaintext rows this
+    process's db-axis shards own, starting at global row `row_start`
+    (rows past params.num_pt are implicit zeros and may be omitted).
+    Returns (hi, lo) global jax.Arrays shaped for the "db"-sharded
+    plane spec ([prefix, L, inner, N], prefix split over "db").
+    """
+    import jax.numpy as jnp
+
+    dims = params.dimensions
+    n_db = dict(mesh.shape).get("db", 1)
+    d0 = dims[0]
+    block = 1
+    for d in dims[1:]:
+        block *= d
+    inner = dims[-1]
+    d0p = -(-d0 // n_db) * n_db
+    total = d0p * block
+    rows_proc = total // jax.process_count()
+    if rows_proc % inner:
+        raise ValueError("per-process rows must align to the inner dimension")
+    if row_start != jax.process_index() * rows_proc:
+        raise ValueError(
+            f"row_start {row_start} is not this process's range "
+            f"(expected {jax.process_index() * rows_proc})"
+        )
+    local_pts = np.asarray(local_pts)
+    if local_pts.shape[0] > rows_proc:
+        raise ValueError("more local rows than this process's range")
+    padded = np.zeros((rows_proc, ctx.n), dtype=np.uint64)
+    padded[: local_pts.shape[0]] = local_pts
+
+    from pir_tpu.bfv import evaluator
+    from pir_tpu.ops import pallas_scan
+
+    @jax.jit
+    def prep(raw):
+        ntt = evaluator.plaintext_to_ntt(ctx, raw)
+        grouped = ntt.reshape(rows_proc // inner, inner, ctx.L, ctx.n)
+        return pallas_scan.split_planes(
+            jnp.transpose(grouped, (0, 2, 1, 3)), ctx.ct_moduli
+        )
+
+    with jax.default_device(jax.local_devices()[0]):
+        hi_l, lo_l = jax.device_get(prep(jnp.asarray(padded)))
+    prefix = total // inner
+    limb = "limb" if "limb" in mesh.axis_names else None
+    spec = P("db", limb, None, None)
+    sharding = NamedSharding(mesh, spec)
+    lo = jax.make_array_from_process_local_data(
+        sharding, lo_l, (prefix, ctx.L, inner, ctx.n)
+    )
+    if hi_l is None:
+        return None, lo
+    hi = jax.make_array_from_process_local_data(
+        sharding, hi_l, (prefix, ctx.L, inner, ctx.n)
+    )
+    return hi, lo

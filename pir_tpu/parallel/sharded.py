@@ -429,8 +429,34 @@ def make_sharded_pipeline(
         plane_h = np.zeros(ph_shape, np.uint8)
         plane_l = np.zeros(ph_shape, np.uint32)
 
-    def pipeline(query_cts, gk):
-        return mapped(query_cts, gk, db_blocks, shoup_blocks,
-                      plane_h, plane_l, limb_tabs)
+    # DB operands ride as jit ARGUMENTS, not closure constants: baked
+    # constants blow up the HLO, and global (multi-process) jax.Arrays
+    # may not be closed over at all.  Host numpy operands on a
+    # multi-process mesh are lifted into sharded global arrays here
+    # (every process holds the full value and contributes its shards).
+    from jax.sharding import NamedSharding
 
-    return jax.jit(pipeline)
+    multiproc = jax.process_count() > 1
+
+    def _global(arr, spec):
+        if arr is None or not multiproc or not isinstance(arr, np.ndarray):
+            return arr
+        sh = NamedSharding(mesh, spec)
+        return jax.make_array_from_callback(
+            arr.shape, sh, lambda idx, a=arr: a[idx]
+        )
+
+    db_spec = P(_ax("db"), None, limb, None)
+    operands = (
+        _global(db_blocks, db_spec),
+        _global(shoup_blocks, db_spec),
+        _global(plane_h, plane_spec),
+        _global(plane_l, plane_spec),
+        {k: _global(v, P(limb)) for k, v in limb_tabs.items()},
+    )
+    jitted = jax.jit(mapped)
+
+    def pipeline(query_cts, gk):
+        return jitted(query_cts, gk, *operands)
+
+    return pipeline
