@@ -257,6 +257,7 @@ def make_sharded_pipeline(
     reply_limbs: int | None = None,
     db_planes=None,
     interpret: bool | None = None,
+    use_ct_mult: bool = False,
 ):
     """Jitted multi-query pipeline: (query_cts, galois_keys) -> replies.
 
@@ -277,6 +278,14 @@ def make_sharded_pipeline(
     sharded over "db" (first hypercube dimension outermost), the L axis
     over "limb".  `interpret` forces the kernel's interpret mode (defaults
     to True off-TPU so CPU-mesh tests execute the same code path).
+
+    use_ct_mult: ciphertext-multiplication recursion
+    (database.cpp:202-211) instead of digit decomposition.  The returned
+    pipeline then takes the relinearization key as a third argument
+    (per-request, like the Galois keys).  db/batch axes only: the BEHZ
+    ct×ct multiply crosses RNS limbs (base extension), so the limb axis
+    is decomposition-mode-only; the db-axis split is exact because every
+    zero-padded row's product relinearizes to an exact zero.
     """
     dim_sum = sum(dims)
     d0 = dims[0]
@@ -290,6 +299,13 @@ def make_sharded_pipeline(
             )
         if reply_limbs is not None:
             raise ValueError("reply_limbs is unsupported with limb sharding")
+        if use_ct_mult:
+            raise ValueError(
+                "ciphertext-multiplication mode is unsupported with limb "
+                "sharding (BEHZ base extension crosses limbs)"
+            )
+    if use_ct_mult and db_planes is not None:
+        raise ValueError("db_planes is a decomposition-mode operand")
     if interpret is None:
         interpret = jax.default_backend() != "tpu"
 
@@ -345,7 +361,7 @@ def make_sharded_pipeline(
 
     limb_tabs = _limb_tables(ctx) if n_limb > 1 else {}
 
-    def shard_body(query_local, gk, db_local, shoup_local, ph_l, pl_l, tabs):
+    def shard_body(query_local, gk, rk, db_local, shoup_local, ph_l, pl_l, tabs):
         # query_local: [Q/S_b, num_cts, 2, L/S_l, N]
         # db_local:    [D0p/S_db, B, L/S_l, N]
         # ph_l/pl_l:   [D0p/S_db * middle, L/S_l, inner, N] planes
@@ -373,16 +389,28 @@ def make_sharded_pipeline(
                 )
             else:
                 sv = expand.expand_query(cx, gk, query_cts, dim_sum)
-            sv_ntt = cx.ntt_q.forward(sv)
-            sv0 = pad_axis(sv_ntt[:d0], 0, n_db)
-            sv0_local = jax.lax.dynamic_slice_in_dim(
-                sv0, my_db * d0_local, d0_local, axis=0
-            )
-            sv_local = jnp.concatenate([sv0_local, sv_ntt[d0:]], axis=0)
-            partial = scan.database_scan_decomp(
-                cx, db_flat, local_dims, sv_local, shoup_flat,
-                db_planes=planes_local, interpret=interpret,
-            )
+            if use_ct_mult:
+                # ct-mult consumes the selection vector in COEFF form;
+                # dimension-0 rows shard exactly like decomp mode
+                sv0 = pad_axis(sv[:d0], 0, n_db)
+                sv0_local = jax.lax.dynamic_slice_in_dim(
+                    sv0, my_db * d0_local, d0_local, axis=0
+                )
+                sv_local = jnp.concatenate([sv0_local, sv[d0:]], axis=0)
+                partial = scan.database_scan_ctmult(
+                    cx, db_flat, local_dims, sv_local, rk
+                )
+            else:
+                sv_ntt = cx.ntt_q.forward(sv)
+                sv0 = pad_axis(sv_ntt[:d0], 0, n_db)
+                sv0_local = jax.lax.dynamic_slice_in_dim(
+                    sv0, my_db * d0_local, d0_local, axis=0
+                )
+                sv_local = jnp.concatenate([sv0_local, sv_ntt[d0:]], axis=0)
+                partial = scan.database_scan_decomp(
+                    cx, db_flat, local_dims, sv_local, shoup_flat,
+                    db_planes=planes_local, interpret=interpret,
+                )
             # cross-shard homomorphic add: reduced summands, exact u64 psum
             if "db" in mesh.axis_names:
                 partial = jax.lax.psum(partial, axis_name="db")
@@ -408,6 +436,7 @@ def make_sharded_pipeline(
         in_specs=(
             P(_ax("batch"), None, None, limb, None),
             P(limb),
+            P(),  # relin key: replicated (empty pytree in decomp mode)
             P(_ax("db"), None, limb, None),
             P(_ax("db"), None, limb, None),
             plane_spec,
@@ -456,7 +485,7 @@ def make_sharded_pipeline(
     )
     jitted = jax.jit(mapped)
 
-    def pipeline(query_cts, gk):
-        return jitted(query_cts, gk, *operands)
+    def pipeline(query_cts, gk, relin_key=None):
+        return jitted(query_cts, gk, relin_key, *operands)
 
     return pipeline

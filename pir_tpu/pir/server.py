@@ -86,9 +86,14 @@ class PirServer:
             1 <= reply_limbs <= len(params.encryption_params.ct_modulus)
         ):
             raise ValueError("reply_limbs out of range for the modulus chain")
-        if mesh is not None and params.use_ciphertext_multiplication:
+        if (
+            mesh is not None
+            and params.use_ciphertext_multiplication
+            and "limb" in mesh.axis_names
+        ):
             raise ValueError(
-                "mesh serving supports decomposition mode only"
+                "ciphertext-multiplication mode cannot shard the limb "
+                "axis (BEHZ base extension crosses limbs); use db/batch"
             )
         self.mesh = mesh
         self.params = params
@@ -455,6 +460,11 @@ class PirServer:
     def _mesh_pipeline(self):
         from pir_tpu.parallel import sharded
 
+        if self.params.use_ciphertext_multiplication:
+            return sharded.make_sharded_pipeline(
+                self.ctx, self.params.dimensions, self.db.db_ntt, self.mesh,
+                reply_limbs=self.reply_limbs, use_ct_mult=True,
+            )
         if self.db._use_planes:
             return sharded.make_sharded_pipeline(
                 self.ctx, self.params.dimensions, None, self.mesh,
@@ -472,9 +482,9 @@ class PirServer:
         pipe = self._mesh_pipeline()
         dt = self._hi_dtype
 
-        def run(q_lo, q_hi, gk_arrays):
+        def run(q_lo, q_hi, gk_arrays, rk):
             q = packing.join_device(q_lo, q_hi)
-            return packing.split_device(pipe(q, gk_arrays), dt)
+            return packing.split_device(pipe(q, gk_arrays, rk), dt)
 
         return jax.jit(run)
 
@@ -483,7 +493,16 @@ class PirServer:
 
         from pir_tpu.parallel import sharded
 
-        gk_arrays, _rk = self._device_keys(request)
+        gk_arrays, rk = self._device_keys(request)
+        if self.params.use_ciphertext_multiplication and rk is None and len(
+            self.params.dimensions
+        ) > 1:
+            raise ValueError(
+                "ciphertext-multiplication mode with d > 1 requires "
+                "relinearization keys in the request"
+            )
+        if not self.params.use_ciphertext_multiplication:
+            rk = None  # decomp pipeline takes no relin key operand
         seal_ep = self._reply_seal_ep(request)
         stacks = [wire.load_ciphertexts(q, self.ctx) for q in request.query]
         if not stacks:
@@ -499,10 +518,10 @@ class PirServer:
         if self._hi_dtype is not None:
             lo, hi = packing.split_host(q, self._hi_dtype)
             replies = self._mesh_pipeline_packed()(
-                jnp.asarray(lo), jnp.asarray(hi), gk_arrays
+                jnp.asarray(lo), jnp.asarray(hi), gk_arrays, rk
             )
         else:
-            replies = self._mesh_pipeline()(jnp.asarray(q), gk_arrays)
+            replies = self._mesh_pipeline()(jnp.asarray(q), gk_arrays, rk)
         return ("mesh", replies, len(stacks), seal_ep)
 
     def process_request_async(self, request: pb.Request):

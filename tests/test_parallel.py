@@ -264,15 +264,40 @@ def test_mesh_backed_server_roundtrip(batch, limb):
     assert resp_b.SerializeToString() == resp_single.SerializeToString()
 
 
-def test_mesh_backed_server_rejects_ct_mult():
+@pytest.mark.parametrize("d,batch", [(1, 2), (2, 1)])
+def test_mesh_backed_server_ct_mult_roundtrip(d, batch):
+    """Ciphertext-multiplication recursion through the mesh server
+    (db/batch axes): proto-identical to single-chip, decodes correctly."""
+    params = tiny_pir_params(
+        dbsize=30, bytes_per_item=8, dimensions=d, n=64,
+        use_ciphertext_multiplication=True,
+    )
+    raw = generate_test_db(30, params.bytes_per_item)
+    db = PirDatabase.create(raw, params)
+    client = PirClient.create(params, seed=5)
+    server = PirServer.create(db, params)
+    mesh_server = PirServer(
+        db, params, mesh=sharded.default_mesh(batch=batch)
+    )
+    indices = [3, 29]
+    request = client.create_request(indices)
+    resp_mesh = mesh_server.process_request(request)
+    resp_single = server.process_request(request)
+    assert resp_mesh.SerializeToString() == resp_single.SerializeToString()
+    out = client.process_response(indices, resp_mesh)
+    for i, idx in enumerate(indices):
+        assert out[i] == raw[idx]
+
+
+def test_mesh_backed_server_ct_mult_rejects_limb_axis():
     params = tiny_pir_params(
         dbsize=10, bytes_per_item=8, dimensions=1, n=64,
         use_ciphertext_multiplication=True,
     )
     raw = generate_test_db(10, params.bytes_per_item)
     db = PirDatabase.create(raw, params)
-    with pytest.raises(ValueError, match="decomposition"):
-        PirServer(db, params, mesh=sharded.default_mesh())
+    with pytest.raises(ValueError, match="limb"):
+        PirServer(db, params, mesh=sharded.default_mesh(batch=1, limb=2))
 
 
 def test_limb_mesh_rejects_bad_widths():
