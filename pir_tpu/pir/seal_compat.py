@@ -105,7 +105,10 @@ def save_encryption_params(ep: EncryptionParams) -> bytes:
     return header + payload
 
 
-def parse_header(b: bytes) -> dict:
+COMPR_DEFLATE = 1
+
+
+def parse_header(b: bytes, allow_compressed: bool = False) -> dict:
     if len(b) < 16:
         raise ValueError("stream shorter than a SEAL header")
     magic, hsize, major, minor, compr, _res, size = struct.unpack_from(
@@ -115,9 +118,11 @@ def parse_header(b: bytes) -> dict:
         raise ValueError(f"bad SEAL magic 0x{magic:04x}")
     if hsize != 0x10:
         raise ValueError(f"unsupported SEAL header size {hsize}")
-    if compr != COMPR_NONE:
+    if compr not in (COMPR_NONE, COMPR_DEFLATE) or (
+        compr == COMPR_DEFLATE and not allow_compressed
+    ):
         raise ValueError(
-            "compressed SEAL streams are not supported (compr_mode="
+            "compressed SEAL streams are not supported here (compr_mode="
             f"{compr}); re-serialize with compr_mode none"
         )
     return {
@@ -125,6 +130,32 @@ def parse_header(b: bytes) -> dict:
         "compr_mode": compr,
         "size": size,
     }
+
+
+def _unwrap(b: bytes) -> bytes:
+    """Top-level stream -> save_members payload bytes.
+
+    SEAL 3.5's default compr_mode is deflate when zlib is available
+    (seal/serialization.h compr_mode_default), so incoming top-level
+    streams may be compressed; nested streams (SmallModulus, IntArray,
+    key ciphertexts) are always saved with compr_mode none by their
+    enclosing save_members.  Accepts both the zlib wrapper and a raw
+    deflate body (covers either windowBits convention)."""
+    hdr = parse_header(b, allow_compressed=True)
+    if hdr["size"] > len(b):
+        raise ValueError("SEAL stream header claims more bytes than present")
+    body = bytes(b[16 : hdr["size"]])
+    if hdr["compr_mode"] == COMPR_DEFLATE:
+        import zlib
+
+        try:
+            body = zlib.decompress(body)
+        except zlib.error:
+            try:
+                body = zlib.decompressobj(-15).decompress(body)
+            except zlib.error as e:
+                raise ValueError(f"bad deflate stream: {e}") from e
+    return body
 
 
 def load_encryption_params(b: bytes) -> EncryptionParams:
@@ -135,8 +166,8 @@ def load_encryption_params(b: bytes) -> EncryptionParams:
 
 
 def _load_encryption_params(b: bytes) -> EncryptionParams:
-    parse_header(b)
-    off = 16
+    b = _unwrap(b)
+    off = 0
     (scheme,) = struct.unpack_from("<B", b, off)
     off += 1
     if scheme != SCHEME_BFV:
@@ -399,11 +430,8 @@ def save_ciphertext(
 
 def load_ciphertext(b: bytes, ep: EncryptionParams) -> np.ndarray:
     """SEAL 3.5 Ciphertext stream -> u64[size, L, N] (coeff form expected)."""
-    hdr = parse_header(b)
-    if hdr["size"] > len(b):
-        raise ValueError("SEAL stream header claims more bytes than present")
-    b = b[: hdr["size"]]
-    ct, is_ntt, pid, _end = _parse_ct_payload(b, 16, ep)
+    body = _unwrap(b)
+    ct, is_ntt, pid, _end = _parse_ct_payload(body, 0, ep)
     if pid != tuple(parms_id_for(ep, int(ct.shape[1]))):
         raise ValueError("ciphertext parms_id does not match the parameters")
     if is_ntt:
@@ -446,11 +474,8 @@ def load_kswitch_keys(
     reference's status-checked loaders (serialization.cpp:32-55) reject
     malformed streams the same way.
     """
-    hdr = parse_header(b)
-    if hdr["size"] > len(b):
-        raise ValueError("SEAL stream header claims more bytes than present")
-    b = b[: hdr["size"]]
-    off = 16
+    b = _unwrap(b)
+    off = 0
     if off + 40 > len(b):
         raise ValueError("truncated KSwitchKeys stream")
     pid = struct.unpack_from("<4Q", b, off)

@@ -302,3 +302,44 @@ def test_kswitch_bad_nested_length_rejected():
     struct.pack_into("<Q", bad2, 16 + 32 + 8, 1 << 20)
     with pytest.raises(ValueError, match="implausible|truncated|exceeds"):
         seal_compat.load_kswitch_keys(bytes(bad2), ep)
+
+
+def _deflate_stream(blob: bytes, raw: bool = False) -> bytes:
+    """Recompress a none-mode stream as SEAL's deflate mode."""
+    import zlib
+
+    body = blob[16:]
+    if raw:
+        c = zlib.compressobj(wbits=-15)
+        comp = c.compress(body) + c.flush()
+    else:
+        comp = zlib.compress(body)
+    hdr = bytearray(blob[:16])
+    hdr[5] = 1  # compr_mode deflate
+    struct.pack_into("<Q", hdr, 8, 16 + len(comp))
+    return bytes(hdr) + comp
+
+
+@pytest.mark.parametrize("raw", [False, True])
+def test_deflate_streams_accepted(raw):
+    """SEAL 3.5 defaults to deflate when zlib is available — loaders
+    accept compressed top-level streams (both zlib-wrapper and raw
+    deflate bodies); emit stays uncompressed (SEAL loads either)."""
+    ep = tiny_encryption_params(n=64)
+    # encryption parameters
+    blob = seal_compat.save_encryption_params(ep)
+    assert seal_compat.load_encryption_params(_deflate_stream(blob, raw)) == ep
+    # ciphertext
+    ct = _random_ct(ep)
+    cblob = seal_compat.save_ciphertext(ct, ep)
+    assert np.array_equal(
+        seal_compat.load_ciphertext(_deflate_stream(cblob, raw), ep), ct
+    )
+
+
+def test_garbage_deflate_rejected():
+    ep = tiny_encryption_params(n=64)
+    blob = bytearray(seal_compat.save_ciphertext(_random_ct(ep), ep))
+    blob[5] = 1  # claims deflate; body is uncompressed garbage to zlib
+    with pytest.raises(ValueError, match="deflate"):
+        seal_compat.load_ciphertext(bytes(blob), ep)
