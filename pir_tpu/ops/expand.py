@@ -64,10 +64,24 @@ def expand_single(
 
     def build():
         def run(c, gk):
+            import jax
+
             logm = ceil_log2(num_items)
             cts = c[jnp.newaxis]  # [1, 2, L, N]
             for j in range(logm):
                 cts = expand_level(ctx, gk, cts, j)
+                # Scheduling barrier between doubling levels.  Without it,
+                # tracing >= 3 levels into ONE program miscompiles on the
+                # v5e backend: outputs deriving from the first two level-2
+                # inputs come back deterministically wrong (bisected to
+                # the whole-expansion fusion — every 1- and 2-level
+                # subprogram, every kernel pair, and any jit split of the
+                # same ops is bit-exact).  The barrier pins each level's
+                # buffers before the next level's Mosaic calls and costs
+                # nothing: levels are serially dependent anyway.  The
+                # split-stage server path (one jit per level) never fused
+                # across levels, which is why it was always correct.
+                cts = jax.lax.optimization_barrier(cts)
             assert cts.shape[0] == next_power_two(num_items)
             return cts[:num_items]
 
@@ -113,12 +127,18 @@ def expand_single_sharded(
     j0 = n_shards.bit_length() - 1  # log2(S)
     cts = ct[jnp.newaxis]
     for j in range(j0):
-        cts = expand_level(ctx, galois_keys, cts, j)  # replicated: S cts
+        # per-level barriers: see expand_single — fusing 3+ levels into
+        # one program miscompiles on the v5e backend
+        cts = jax.lax.optimization_barrier(
+            expand_level(ctx, galois_keys, cts, j)  # replicated: S cts
+        )
     mine = jax.lax.dynamic_slice_in_dim(
         cts, jax.lax.axis_index(axis_name), 1, axis=0
     )
     for j in range(j0, logm):
-        mine = expand_level(ctx, galois_keys, mine, j)
+        mine = jax.lax.optimization_barrier(
+            expand_level(ctx, galois_keys, mine, j)
+        )
     # mine[m] is global output s + m*S; gather and unshuffle the stride
     full = jax.lax.all_gather(mine, axis_name, axis=0)  # [S, M, 2, L, N]
     m_local = mine.shape[0]
