@@ -283,7 +283,13 @@ class PirDatabase:
             want = n_rows * p.items_per_plaintext
             items = []
             while len(items) < want and taken < p.num_items:
-                item = next(it)
+                try:
+                    item = next(it)
+                except StopIteration:
+                    raise ValueError(
+                        f"iterator exhausted after {taken} items, params "
+                        f"say {p.num_items}"
+                    ) from None
                 if len(item) != p.bytes_per_item:
                     raise ValueError(
                         f"item {taken} has {len(item)} bytes, expected "
