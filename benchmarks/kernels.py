@@ -339,6 +339,48 @@ def main():
         row["achieved_fraction"] = round(kb / dt / ceiling, 4)
     results.append(row)
 
+    # key switch, tpu32 profile (sub-32-bit chain: 4-mul u32 inner product)
+    try:
+        params32 = create_pir_parameters(
+            16, 0, 1, generate_encryption_params(N, 20, profile="tpu32")
+        )
+    except ValueError:
+        params32 = None
+    if params32 is not None:
+        ctx32 = PirContext(params32)
+        sk32 = keys_mod.gen_secret_key(ctx32, np.random.default_rng(1))
+        gk32 = keys_mod.gen_galois_keys(
+            ctx32, sk32, [N + 1], np.random.default_rng(1)
+        )
+        cts32 = jnp.asarray(
+            np.stack(
+                [
+                    np.stack(
+                        [
+                            rng.integers(0, q, size=(2, N), dtype=np.uint64)
+                            for q in ctx32.ct_moduli
+                        ],
+                        axis=1,
+                    )
+                    for _ in range(kb)
+                ]
+            )
+        )
+        gkarr32 = {N + 1: jnp.asarray(gk32[N + 1].data)}
+        apply_g32 = jax.jit(
+            lambda c, k: keyswitch.apply_galois(ctx32, k, c, N + 1)
+        )
+        dt = bench_op(apply_g32, cts32, gkarr32, iters=args.iters)
+        results.append({
+            "kernel": "galois_keyswitch_tpu32",
+            "backend": backend,
+            "batch": kb,
+            "L": ctx32.L,
+            "Lp": ctx32.Lp,
+            "ms": round(dt * 1e3, 3),
+            "keyswitches_per_sec": round(kb / dt, 1),
+        })
+
     for r in results:
         print(json.dumps(r))
 

@@ -31,8 +31,92 @@ from __future__ import annotations
 import jax
 import jax.numpy as jnp
 
+import numpy as np
+
 from pir_tpu.core.context import PirContext
-from pir_tpu.ops import modular, poly
+from pir_tpu.ops import modular, poly, wide32
+
+
+def _qp_words(qp):
+    """LimbConstants -> six u32[Lp, 1] word columns (qh, ql, rhh, rhl,
+    rlh, rll) for the 96-bit Barrett reduction (wide32.barrett_reduce96_w).
+    Host-side numpy; broadcasts over [..., Lp, N] operands."""
+    out = []
+    for arr in (qp.q, qp.ratio_hi, qp.ratio_lo):
+        a = np.asarray(arr)
+        out.append((a >> np.uint64(32)).astype(np.uint32))
+        out.append((a & np.uint64(0xFFFFFFFF)).astype(np.uint32))
+    return tuple(out)
+
+
+def _digit_inner_product(ctx, digits, data, qp):
+    """acc[k] = Σ_i digits[i] ⊙ ksk[i, k] over the decomposition axis,
+    reduced mod every key prime — the key switch's hot contraction.
+
+    digits: u64[..., L, Lp, N] NTT form; data: u64[L, 2, Lp, N].
+    Returns reduced u64[..., 2, Lp, N], including the cross-shard psum on
+    limb-sharded meshes.
+
+    Three arithmetic strategies, chosen statically from the modulus widths
+    (same reasoning as the DB-scan kernels, ops/pallas_scan.py):
+
+    * **u32 raw (4-mul)** — every key prime below 2^31 and the whole digit
+      sum exact in u64 (L_total·q² < 2^64): one 32x32->64 product per MAC
+      (wide32.mul32_wide) accumulated with plain u64 adds, ONE Barrett
+      reduction per output element.  This is what makes the sub-32-bit
+      "tpu32" parameter profile win the key switch (the round-4 gap: its
+      L·Lp grows 2x vs the default chain but each MAC is ~6x cheaper).
+    * **48-bit raw (9-mul)** — primes below 2^48 (the SEAL default chain's
+      36/37-bit primes): three-word raw products (wide32.mul_u48_3w) with
+      exact 16-bit-half partial sums over the digit axis and one 96-bit
+      Barrett reduction per output.  ~3x fewer VPU ops than the generic
+      Barrett-per-MAC path it replaces.
+    * **generic** — any chain up to 61 bits: full 128-bit Barrett per MAC
+      (the bit-exactness reference; also the only path with headroom for
+      arbitrary big chains).
+    """
+    L_total = len(ctx.ct_moduli)  # full decomposition count (all shards)
+    moduli = tuple(int(m) for m in qp.moduli)
+    bits = max(m.bit_length() for m in moduli)
+    limb_axis = getattr(ctx, "limb_axis_name", None)
+    x = digits[..., :, None, :, :]  # [..., L, 1, Lp, N]
+
+    if bits <= 31 and L_total * (max(moduli) - 1) ** 2 < (1 << 64):
+        prod = wide32.join_u64(
+            *wide32.mul32_wide(
+                x.astype(jnp.uint32), data.astype(jnp.uint32)
+            )
+        )
+        tot = jnp.sum(prod, axis=-4)  # exact: L_total·q² < 2^64
+        if limb_axis is not None:
+            tot = jax.lax.psum(tot, limb_axis)
+        return modular.barrett_reduce_64(tot, qp.q, qp.ratio_hi)
+
+    if bits <= 48 and L_total < (1 << 16):
+        xh, xl = wide32.split_u64(x)
+        wh, wl = wide32.split_u64(data)
+        p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
+        s2, s1, s0 = wide32.sum96_over_axis(
+            p2, p1, p0, axis=-4, p2_max_bits=max(0, 2 * bits - 64)
+        )
+        tot = wide32.join_u64(
+            *wide32.barrett_reduce96_w(s2, s1, s0, *_qp_words(qp))
+        )
+        if limb_axis is not None:
+            # per-shard totals are already reduced (< q < 2^48): the psum
+            # of S shards stays u64-exact, one final reduction closes it
+            tot = jax.lax.psum(tot, limb_axis)
+            tot = modular.barrett_reduce_64(tot, qp.q, qp.ratio_hi)
+        return tot
+
+    prod = modular.mul_mod(x, data, qp.q, qp.ratio_hi, qp.ratio_lo)
+    # Reduced summands (< q_j < 2^61); L terms fit u64 without wrap.
+    tot = jnp.sum(prod, axis=-4)
+    if limb_axis is not None:
+        # limb-sharded: local digits only — complete the digit sum across
+        # the limb mesh axis (u64-exact: reduced summands, L·q < 2^64)
+        tot = jax.lax.psum(tot, limb_axis)
+    return modular.barrett_reduce_64(tot, qp.q, qp.ratio_hi)
 
 
 def switch_key(ctx: PirContext, ksk, c: jnp.ndarray):
@@ -45,30 +129,31 @@ def switch_key(ctx: PirContext, ksk, c: jnp.ndarray):
     # accept either a KSwitchKey or its raw [L, 2, Lp, N] array (jit pytrees)
     data = getattr(ksk, "data", ksk)
 
-    # 1. decompose: limb i of c broadcast to all Lp key primes.
-    digits = modular.barrett_reduce_64(
-        c[..., :, None, :], qp.q, qp.ratio_hi
-    )  # [..., L, Lp, N]
+    # 1. decompose: limb i of c broadcast to all Lp key primes.  The input
+    # limbs are reduced (< q_i), so when every ct modulus is within a few
+    # bits of every key prime — true for both built-in chains — the
+    # re-reduction is a couple of shift-compare-subtract steps instead of
+    # a Barrett multiply (same trick as SEAL's modulo_poly_coeffs fast
+    # path; ~20 u32 ops saved per element on the expansion hot path).
+    ct_bits = max(int(m).bit_length() for m in ctx.ct_moduli)
+    k_max = ((1 << ct_bits) - 1) // min(int(m) for m in qp.moduli)
+    x = c[..., :, None, :]  # [..., L, 1, N] vs q_col [Lp, 1]
+    if k_max <= 4:
+        digits = jnp.broadcast_to(
+            x, x.shape[:-2] + (len(qp.moduli), x.shape[-1])
+        )
+        for i in range(k_max.bit_length() - 1, -1, -1):
+            s = qp.q << np.uint64(i)
+            digits = jnp.where(digits >= s, digits - s, digits)
+    else:
+        digits = modular.barrett_reduce_64(x, qp.q, qp.ratio_hi)
+    # digits: [..., L, Lp, N]
 
     # 2. NTT over QP (limb axis is second-to-last).
     digits = ctx.ntt_qp.forward(digits)
 
     # 3. inner product with the key: [..., L, 1, Lp, N] x [L, 2, Lp, N].
-    prod = modular.mul_mod(
-        digits[..., :, None, :, :],
-        data,
-        qp.q,
-        qp.ratio_hi,
-        qp.ratio_lo,
-    )
-    # Reduced summands (< q_j < 2^61); L terms fit u64 without wrap.
-    tot = jnp.sum(prod, axis=-4)
-    limb_axis = getattr(ctx, "limb_axis_name", None)
-    if limb_axis is not None:
-        # limb-sharded: local digits only — complete the digit sum across
-        # the limb mesh axis (u64-exact: reduced summands, L·q < 2^64)
-        tot = jax.lax.psum(tot, limb_axis)
-    acc = modular.barrett_reduce_64(tot, qp.q, qp.ratio_hi)  # [..., 2, Lp, N]
+    acc = _digit_inner_product(ctx, digits, data, qp)  # [..., 2, Lp, N]
 
     # 4. INTT and scale down by P with centered rounding.
     acc = ctx.ntt_qp.inverse(acc)
