@@ -25,7 +25,7 @@ from pir_tpu.utils.math import ceil_log2, next_power_two
 
 
 def expand_level(
-    ctx: PirContext, galois_keys, cts: jnp.ndarray, j: int
+    ctx: PirContext, galois_keys, cts: jnp.ndarray, j: int, axis: int = 0
 ) -> jnp.ndarray:
     """One doubling level of oblivious expansion: u64[B, 2, L, N] ->
     u64[2B, 2, L, N] (level j uses Galois element N/2^j + 1;
@@ -33,7 +33,11 @@ def expand_level(
     level as its own executable — per-level compiles are small and the
     axon/XLA compile service runs them concurrently, cutting pipeline
     warmup severalfold vs one monolithic jit (compile time in XLA grows
-    superlinearly with HLO size)."""
+    superlinearly with HLO size).
+
+    axis: which axis doubles — batched serving runs Q independent trees
+    as u64[Q, B, 2, L, N] with axis=1 (every op here is batched over
+    leading axes, so the level body is identical)."""
     n = ctx.n
     q = ctx.limbs_q.q
     galois_elt = (n >> j) + 1
@@ -45,7 +49,7 @@ def expand_level(
         q,
     )
     upper = modular.add_mod(cts, sub, q)
-    return jnp.concatenate([upper, lower], axis=0)
+    return jnp.concatenate([upper, lower], axis=axis)
 
 
 def expand_single(
@@ -176,6 +180,64 @@ def expand_query_sharded(
             )
         remaining -= n
     return jnp.concatenate(outs, axis=0) if len(outs) > 1 else outs[0]
+
+
+def expand_single_batch(
+    ctx: PirContext, galois_keys, cts: jnp.ndarray, num_items: int
+) -> jnp.ndarray:
+    """Expand Q independent ciphertexts u64[Q, 2, L, N] into
+    u64[Q, num_items, 2, L, N] — one fused doubling tree per query, all
+    queries sharing each level's (batched) key-switch kernel.  Bit-exact
+    per lane with expand_single (identical ops, the doubling axis simply
+    carries a leading query axis)."""
+    import jax
+
+    n = ctx.n
+    if num_items > n:
+        raise ValueError("cannot expand more items from a CT than poly degree")
+    if num_items == 0:
+        return cts[:, None][:, :0]
+
+    def build():
+        def run(c, gk):
+            logm = ceil_log2(num_items)
+            x = c[:, None]  # [Q, 1, 2, L, N]
+            for j in range(logm):
+                x = expand_level(ctx, gk, x, j, axis=1)
+                # per-level barriers: see expand_single — fusing 3+ levels
+                # into one program miscompiles on the v5e backend
+                x = jax.lax.optimization_barrier(x)
+            assert x.shape[1] == next_power_two(num_items)
+            return x[:, :num_items]
+
+        return run
+
+    return ctx.maybe_jitted(
+        f"expand_single_batch_{num_items}_{cts.shape[0]}", build, cts, galois_keys
+    )
+
+
+def expand_query_batch(
+    ctx: PirContext, galois_keys, cts: jnp.ndarray, total_items: int
+) -> jnp.ndarray:
+    """Expand Q same-shape queries u64[Q, num_cts, 2, L, N] into
+    u64[Q, total_items, 2, L, N] (the batched twin of expand_query)."""
+    n = ctx.n
+    if cts.shape[1] != total_items // n + 1:
+        raise ValueError(
+            "number of ciphertexts doesn't match number of items for "
+            "oblivious expansion"
+        )
+    outs = []
+    remaining = total_items
+    for i in range(cts.shape[1]):
+        count = min(n, remaining)
+        if count > 0:
+            outs.append(
+                expand_single_batch(ctx, galois_keys, cts[:, i], count)
+            )
+        remaining -= n
+    return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
 
 
 def expand_query(

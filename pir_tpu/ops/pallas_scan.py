@@ -376,6 +376,196 @@ def contract_dim_raw(
     return wide32.join_u64(out_h, out_l)
 
 
+# ---------------------------------------------------------------------------
+# Wide (multi-query) raw kernels — B query accumulators per database tile.
+#
+# Batched serving replays the same database against B independent selection
+# vectors; re-invoking the single-query kernel per query (or vmapping it,
+# which lowers to an extra grid dimension) streams the full DB from HBM B
+# times.  These variants fold the query batch into the ciphertext size axis
+# (S = 2·B), so ONE pass over the database planes serves every query: the
+# sv block is fetched once per coefficient tile, each db block exactly once
+# overall.  The contraction runs in in-kernel sub-chunks with a carried
+# 3-word accumulator (acc96_add), keeping the elementwise temporaries
+# bounded at any D while still paying ONE Barrett reduction per output.
+# Replaces the whole-pipeline-vmap lane replication previously used for
+# batched requests (reference analog: the serial query loop at
+# pir/cpp/server.cpp:60-63).
+# ---------------------------------------------------------------------------
+
+
+def _raw_kernel_wide(svh, svl, dbh, dbl, outh, outl, *, moduli, ratios, sub):
+    """Size-axis-generic 48-bit raw kernel: sv block [S, L, D, bn], db
+    block [1, L, D, bn], out block [1, S, L, bn]; contraction sub-chunked
+    in VMEM (sub <= max_raw_chunk so each chunk's half-sums stay exact)."""
+    L = len(moduli)
+    D = svh.shape[2]
+    for li in range(L):
+        q = int(moduli[li])
+        p2_bits = max(0, 2 * q.bit_length() - 64)
+        acc = None
+        for c0 in range(0, D, sub):
+            c1 = min(c0 + sub, D)
+            xh = svh[:, li, c0:c1]
+            xl = svl[:, li, c0:c1]
+            wh = dbh[0, li, c0:c1].astype(jnp.uint32)[None]
+            wl = dbl[0, li, c0:c1][None]
+            p2, p1, p0 = wide32.mul_u48_3w(xh, xl, wh, wl)
+            s = wide32.sum96_over_axis(p2, p1, p0, axis=1, p2_max_bits=p2_bits)
+            acc = s if acc is None else wide32.acc96_add(*acc, *s)
+        rhi, rlo = ratios[li]
+        oh, ol = wide32.barrett_reduce96(*acc, q, rhi, rlo)
+        outh[0, :, li] = oh
+        outl[0, :, li] = ol
+
+
+def _raw_kernel_wide_u32(svl, dbl, outh, outl, *, moduli, ratios, sub):
+    """Single-u32-residue wide kernel (tpu32 profile): 4-mul MACs, 2-word
+    products, the same carried 96-bit accumulator."""
+    L = len(moduli)
+    D = svl.shape[2]
+    for li in range(L):
+        acc = None
+        for c0 in range(0, D, sub):
+            c1 = min(c0 + sub, D)
+            x = svl[:, li, c0:c1]
+            w = dbl[0, li, c0:c1][None]
+            ph, plo = wide32.mul32_wide(x, w)
+            s = wide32.sum64_over_axis(ph, plo, axis=1)
+            acc = s if acc is None else wide32.acc96_add(*acc, *s)
+        q = int(moduli[li])
+        rhi, rlo = ratios[li]
+        oh, ol = wide32.barrett_reduce96(*acc, q, rhi, rlo)
+        outh[0, :, li] = oh
+        outl[0, :, li] = ol
+
+
+@functools.partial(
+    jax.jit,
+    static_argnames=("moduli", "ratio_hi", "ratio_lo", "block_n", "interpret"),
+)
+def contract_dim_raw_wide(
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    moduli: tuple,
+    ratio_hi: tuple,
+    ratio_lo: tuple,
+    block_n: int = DEFAULT_BLOCK_N,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """acc[p, s] = Σ_j sv[j, s] ⊙ db[p, j] mod q — S-wide raw Pallas path.
+
+    sv_ntt: u64[D, S, L, N] (S = any folded (query, size) width);
+    db_hi/db_lo: [P, L, D, N] planes.  Returns u64[P, S, L, N] reduced.
+    The database is streamed from HBM exactly once regardless of S.
+    """
+    P, L, D, N = db_lo.shape
+    S = sv_ntt.shape[1]
+    b = max(int(q).bit_length() for q in moduli)
+    assert b <= 48, "raw-accumulation path requires moduli below 2^48"
+    assert D * (1 << (2 * b)) < (1 << 96), "96-bit accumulator overflow"
+    bn = min(block_n, N)
+    # the sv block keeps the FULL contraction axis resident ([S, L, D, bn]
+    # u32 pairs); shrink the coefficient tile as S grows so it fits VMEM
+    while bn > 128 and S * L * D * bn * 8 > (6 << 20):
+        bn //= 2
+    assert N % bn == 0
+    # VMEM stack budget: per-sub-chunk temporaries scale with S·sub·bn
+    # (the single-query kernels' bound was size 2 · D · bn <= 2·_MAX_D_BN)
+    sub = max(8, min(max_raw_chunk(moduli), D, (2 * _MAX_D_BN) // (S * bn)))
+
+    sv_t = jnp.transpose(sv_ntt, (1, 2, 0, 3))  # [S, L, D, N]
+
+    zero = np.int32(0)
+    grid = (N // bn, P)
+    sv_spec = pl.BlockSpec(
+        (S, L, D, bn), lambda n, p: (zero, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    db_spec = pl.BlockSpec(
+        (1, L, D, bn), lambda n, p: (p, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    out_spec = pl.BlockSpec(
+        (1, S, L, bn), lambda n, p: (p, zero, zero, n),
+        memory_space=pltpu.VMEM,
+    )
+    ratios = tuple((int(h), int(l)) for h, l in zip(ratio_hi, ratio_lo))
+    out_shape = (
+        jax.ShapeDtypeStruct((P, S, L, N), jnp.uint32),
+        jax.ShapeDtypeStruct((P, S, L, N), jnp.uint32),
+    )
+    if db_hi is None:
+        assert b <= 32, "u32 scan path requires sub-32-bit moduli"
+        sv_l = sv_t.astype(jnp.uint32)
+        kernel = functools.partial(
+            _raw_kernel_wide_u32, moduli=moduli, ratios=ratios, sub=sub
+        )
+        out_h, out_l = pl.pallas_call(
+            kernel,
+            grid=grid,
+            in_specs=[sv_spec, db_spec],
+            out_specs=(out_spec, out_spec),
+            out_shape=out_shape,
+            interpret=interpret,
+        )(sv_l, db_lo)
+        return wide32.join_u64(out_h, out_l)
+    sv_h, sv_l = wide32.split_u64(sv_t)
+    kernel = functools.partial(
+        _raw_kernel_wide, moduli=moduli, ratios=ratios, sub=sub
+    )
+    out_h, out_l = pl.pallas_call(
+        kernel,
+        grid=grid,
+        in_specs=[sv_spec, sv_spec, db_spec, db_spec],
+        out_specs=(out_spec, out_spec),
+        out_shape=out_shape,
+        interpret=interpret,
+    )(sv_h, sv_l, db_hi, db_lo)
+    return wide32.join_u64(out_h, out_l)
+
+
+def contract_dim_wide_auto(
+    sv_ntt: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    moduli: tuple,
+    ratio_hi: tuple,
+    ratio_lo: tuple,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """contract_dim_raw_wide with an XLA-level D-chunk fallback for shapes
+    whose full contraction axis cannot stay VMEM-resident at width S."""
+    from pir_tpu.ops import modular
+
+    P, L, D, N = db_lo.shape
+    S = sv_ntt.shape[1]
+    # D chunk that keeps the sv block below the VMEM budget at bn=128
+    d_cap = max(8, (6 << 20) // (S * L * 128 * 8))
+    d_cap = min(d_cap, max_raw_chunk(moduli))
+    if D <= d_cap:
+        return contract_dim_raw_wide(
+            sv_ntt, db_hi, db_lo, moduli, ratio_hi, ratio_lo,
+            interpret=interpret,
+        )
+    acc = None
+    q_col = jnp.asarray(np.array(moduli, dtype=np.uint64))[:, None]
+    for start in range(0, D, d_cap):
+        end = min(start + d_cap, D)
+        part = contract_dim_raw_wide(
+            sv_ntt[start:end],
+            db_hi[:, :, start:end] if db_hi is not None else None,
+            db_lo[:, :, start:end],
+            moduli,
+            ratio_hi,
+            ratio_lo,
+            interpret=interpret,
+        )
+        acc = part if acc is None else modular.add_mod(acc, part, q_col)
+    return acc
+
+
 # Mosaic allocates the kernel's elementwise intermediates on the VMEM
 # stack; D·bn beyond ~96K u32 elements per limb overflows the 16MB scoped
 # limit (observed at D=162, bn=1024).  Chunk the contraction to stay under.

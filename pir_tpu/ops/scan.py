@@ -238,6 +238,106 @@ def database_scan_decomp(
     return result.reshape(-1, 2, ctx.L, ctx.n)
 
 
+def contract_dim_planes_wide(
+    ctx: PirContext,
+    sv_wide: jnp.ndarray,
+    db_hi: jnp.ndarray,
+    db_lo: jnp.ndarray,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """S-wide Pallas raw contraction: sv u64[D, S, L, N] -> u64[P, S, L, N].
+
+    One HBM pass over the database planes serves all S selection-vector
+    columns (a folded (query, ciphertext-size) axis) — the batched-serving
+    scan kernel (pallas_scan.contract_dim_raw_wide)."""
+    from pir_tpu.ops import pallas_scan
+
+    rh, rl = _ratio_tuples(ctx)
+    return pallas_scan.contract_dim_wide_auto(
+        sv_wide, db_hi, db_lo, ctx.limbs_q.moduli, rh, rl, interpret=interpret
+    )
+
+
+def database_scan_decomp_batched(
+    ctx: PirContext,
+    dims: tuple,
+    sv_ntt_b: jnp.ndarray,
+    db_planes,
+    interpret: bool = False,
+) -> jnp.ndarray:
+    """Multi-query decomposition-mode scan over shared database planes.
+
+    sv_ntt_b: u64[B, sum(dims), 2, L, N] — B expanded selection vectors.
+    Returns u64[B, (2·ER)^(d-1), 2, L, N], bit-identical per query to
+    database_scan_decomp.  The innermost (whole-database) contraction
+    folds the B queries into the kernel's size axis so the DB planes
+    stream from HBM once for the whole batch (the reference's serial
+    query loop, pir/cpp/server.cpp:60-63, shares nothing); upper
+    recursion levels operate on per-query intermediates and loop over the
+    (static, small) batch.
+    """
+    B = sv_ntt_b.shape[0]
+    d = len(dims)
+    offsets = []
+    off = 0
+    for dim in dims:
+        offsets.append(off)
+        off += dim
+    total = 1
+    for dim in dims:
+        total *= dim
+    assert db_planes[1].shape[0] * db_planes[1].shape[2] == total
+
+    inner = dims[-1]
+    prefix = total // inner
+    n, L = ctx.n, ctx.L
+    sv_last = sv_ntt_b[:, offsets[-1] : offsets[-1] + inner]  # [B, inner, 2, L, N]
+    sv_wide = jnp.transpose(sv_last, (1, 0, 2, 3, 4)).reshape(
+        inner, B * 2, L, n
+    )
+    res = contract_dim_planes_wide(
+        ctx, sv_wide, db_planes[0], db_planes[1], interpret=interpret
+    )  # [prefix, B*2, L, N]
+    result = jnp.transpose(
+        res.reshape(prefix, B, 2, L, n), (1, 0, 2, 3, 4)
+    )  # [B, prefix, 2, L, N]
+    result = ctx.ntt_q.inverse(result)
+
+    # Upper levels: intermediates are per-query, so there is no shared DB
+    # stream to amortize — run the single-query level body per lane (B is
+    # static and small; each contraction is tiny next to the inner scan).
+    for level in range(d - 2, -1, -1):
+        dim = dims[level]
+        prefix //= dim
+        if result.ndim == 5:
+            result = result[:, :, None]  # [B, prefix*dim, C, 2, L, N]
+        C = result.shape[2]
+        pts = decompose.decompose_ct(ctx, result)
+        pts_ntt = ctx.ntt_q.forward(
+            jnp.broadcast_to(
+                pts[..., None, :], pts.shape[:-1] + (L, n)
+            )
+        )  # [B, prefix*dim, C, 2*ER, L, N]
+        newC = C * pts_ntt.shape[3]
+        items = pts_ntt.reshape(B, prefix, dim, newC, L, n)
+        items_flat = items.transpose(0, 1, 3, 2, 4, 5).reshape(
+            B, prefix * newC, dim, L, n
+        )
+        outs = []
+        for b in range(B):
+            sv_lvl = sv_ntt_b[b, offsets[level] : offsets[level] + dim]
+            ih, il = items_to_planes(ctx, items_flat[b])
+            outs.append(
+                contract_dim_planes(ctx, sv_lvl, ih, il, interpret=interpret)
+            )
+        res = ctx.ntt_q.inverse(jnp.stack(outs))  # [B, prefix*newC, 2, L, N]
+        result = res.reshape(B, prefix, newC, 2, L, n)
+
+    if result.ndim == 5:
+        result = result[:, :, None]
+    return result.reshape(B, -1, 2, L, n)
+
+
 def database_scan_ctmult(
     ctx: PirContext,
     db_ntt: jnp.ndarray,

@@ -147,6 +147,7 @@ class PirServer:
                 )
 
         elif self.db._use_planes:
+            interp = jax.default_backend() != "tpu"
 
             def run(query_cts, galois_key_arrays, relin_key, db_hi, db_lo):
                 del relin_key
@@ -156,7 +157,8 @@ class PirServer:
                 sv_ntt = ctx.ntt_q.forward(sv)
                 return shrink(
                     scan.database_scan_decomp(
-                        ctx, None, dims, sv_ntt, db_planes=(db_hi, db_lo)
+                        ctx, None, dims, sv_ntt, db_planes=(db_hi, db_lo),
+                        interpret=interp,
                     )
                 )
 
@@ -230,13 +232,15 @@ class PirServer:
                 )
 
         elif self.db._use_planes:
+            interp = jax.default_backend() != "tpu"
 
             def run(sv, relin_key, db_hi, db_lo):
                 del relin_key
                 sv_ntt = ctx.ntt_q.forward(sv)
                 return shrink(
                     scan.database_scan_decomp(
-                        ctx, None, dims, sv_ntt, db_planes=(db_hi, db_lo)
+                        ctx, None, dims, sv_ntt, db_planes=(db_hi, db_lo),
+                        interpret=interp,
                     )
                 )
 
@@ -618,12 +622,131 @@ class PirServer:
         budget = int(os.environ.get("PIR_BATCH_MEM_BUDGET", 4 << 30))
         return max(1, budget // max(1, lane_bytes))
 
-    def process_request_batched(self, request: pb.Request) -> pb.Response:
-        """Like process_request, but runs queries in batched device programs
-        (vmap width capped by the HBM estimate above, chunking as needed).
+    # ------------------------------------------------------------------
+    # Multi-query serving over the wide scan kernel: one HBM pass over the
+    # database planes serves the whole batch (ops/pallas_scan wide
+    # kernels), expansion trees fused across queries per level.  This
+    # replaces the whole-pipeline vmap (which replicated the scan working
+    # set — and the DB stream — per lane) wherever the planes path is
+    # active; vmap remains the fallback for the other modes.
+    # ------------------------------------------------------------------
+    @functools.lru_cache(maxsize=32)
+    def _level_jit_b(self, j: int):
+        ctx = self.ctx
 
-        Requires all queries to carry the same number of ciphertexts (always
-        true for same-params clients).  Decomposition mode only.
+        def run(cts, gk):
+            return expand.expand_level(ctx, gk, cts, j, axis=1)
+
+        return jax.jit(run)
+
+    @functools.lru_cache(maxsize=4)
+    def _scan_jit_b(self):
+        """(sv_b [B, dim_sum, 2, L, N], *db_planes) -> replies [B, ...]."""
+        ctx = self.ctx
+        dims = self.params.dimensions
+        keep = self.reply_limbs
+
+        interp = jax.default_backend() != "tpu"
+
+        def run(sv_b, db_hi, db_lo):
+            sv_ntt = ctx.ntt_q.forward(sv_b)
+            reply = scan.database_scan_decomp_batched(
+                ctx, dims, sv_ntt, (db_hi, db_lo), interpret=interp
+            )
+            if keep is None:
+                return reply
+            from pir_tpu.ops import modswitch
+
+            return modswitch.mod_switch_to(ctx, reply, keep)
+
+        return jax.jit(run)
+
+    def _expand_staged_b(self, q_dev, gk_arrays):
+        """Batched expand_query via per-level executables (levels double
+        axis 1; queries ride axis 0)."""
+        from pir_tpu.utils.math import ceil_log2
+
+        n = self.ctx.n
+        total = self.params.dimensions_sum
+        outs = []
+        remaining = total
+        for i in range(q_dev.shape[1]):
+            count = min(n, remaining)
+            remaining -= n
+            if count == 0:
+                continue
+            x = q_dev[:, i][:, None]
+            for j in range(ceil_log2(count)):
+                x = self._level_jit_b(j)(x, gk_arrays)
+            outs.append(x[:, :count])
+        return jnp.concatenate(outs, axis=1) if len(outs) > 1 else outs[0]
+
+    def batch_lanes(self) -> int:
+        """Query lanes per batched device pass: the wide kernel keeps
+        per-lane transients at one selection vector + expansion tree
+        (~L·dim_sum·N·8·3 bytes), so the cap is generous; override with
+        PIR_BATCH_LANES."""
+        import os
+
+        cap = os.environ.get("PIR_BATCH_LANES")
+        if cap:
+            return max(1, int(cap))
+        lane_bytes = 3 * self.params.dimensions_sum * 2 * self.ctx.L * self.ctx.n * 8
+        budget = int(os.environ.get("PIR_BATCH_MEM_BUDGET", 4 << 30))
+        return max(1, min(16, budget // max(1, lane_bytes)))
+
+    def _warm_batched(self, num_query_cts: int, lanes: int):
+        key = ("batched", num_query_cts, lanes)
+        if key in self._warmed_shapes:
+            return
+        from concurrent.futures import ThreadPoolExecutor
+
+        ctx = self.ctx
+        gk_zero = {
+            e: jnp.zeros((ctx.L, 2, ctx.Lp, ctx.n), jnp.uint64)
+            for e in self._expansion_elts
+        }
+        jobs = []
+        for j in sorted(self._levels_for(num_query_cts)):
+            x = jnp.zeros((lanes, 1 << j, 2, ctx.L, ctx.n), jnp.uint64)
+            jobs.append((self._level_jit_b(j), (x, gk_zero)))
+        sv_zero = jnp.zeros(
+            (lanes, self.params.dimensions_sum, 2, ctx.L, ctx.n), jnp.uint64
+        )
+        jobs.append((self._scan_jit_b(), (sv_zero, *self.db.db_planes)))
+        with ThreadPoolExecutor(max_workers=max(8, len(jobs))) as ex:
+            futs = [
+                ex.submit(lambda f, a: jax.block_until_ready(f(*a)), f, a)
+                for f, a in jobs
+            ]
+            for fut in futs:
+                fut.result()
+        self._warmed_shapes.add(key)
+
+    def _run_batch_device(self, chunk, gk_arrays):
+        """One [B, k, 2, L, N] host query stack -> device replies handle."""
+        import numpy as np
+
+        self._warm_batched(chunk.shape[1], chunk.shape[0])
+        if self._hi_dtype is not None:
+            lo, hi = packing.split_host(np.asarray(chunk), self._hi_dtype)
+            q = self._join_jit()(jnp.asarray(lo), jnp.asarray(hi))
+        else:
+            q = jnp.asarray(chunk)
+        sv = self._expand_staged_b(q, gk_arrays)
+        replies = self._scan_jit_b()(sv, *self.db.db_planes)
+        if self._hi_dtype is not None:
+            return self._split_jit()(replies)
+        return replies
+
+    def process_request_batched(self, request: pb.Request) -> pb.Response:
+        """Like process_request, but runs queries in batched device programs.
+
+        With the planes scan path active (decomposition mode), queries are
+        folded into the wide scan kernel — one DB stream per batch; other
+        modes fall back to the vmapped whole-pipeline (width capped by the
+        HBM estimate above).  Requires all queries to carry the same number
+        of ciphertexts (always true for same-params clients).
         """
         if self.mesh is not None:
             # the mesh pipeline is inherently batched over its "batch" axis
@@ -636,8 +759,31 @@ class PirServer:
         import numpy as np
 
         all_queries = np.stack(stacks)
-        lanes = min(self._max_vmap_lanes(), all_queries.shape[0])
         response = pb.Response()
+        if self.db._use_planes and not self.params.use_ciphertext_multiplication:
+            lanes = min(self.batch_lanes(), all_queries.shape[0])
+            pending = []
+            for start in range(0, all_queries.shape[0], lanes):
+                chunk = all_queries[start : start + lanes]
+                if chunk.shape[0] != lanes:  # ragged tail: pad with lane 0
+                    pad = lanes - chunk.shape[0]
+                    chunk = np.concatenate([chunk, chunk[:1].repeat(pad, 0)])
+                    pending.append((self._run_batch_device(chunk, gk_arrays),
+                                    lanes - pad))
+                else:
+                    pending.append((self._run_batch_device(chunk, gk_arrays),
+                                    lanes))
+            for handle, count in pending:
+                if self._hi_dtype is not None:
+                    replies = packing.join_host(*jax.device_get(handle))
+                else:
+                    replies = jax.device_get(handle)
+                for qi in range(count):
+                    wire.save_ciphertexts(
+                        replies[qi], response.reply.add(), seal_ep=seal_ep
+                    )
+            return response
+        lanes = min(self._max_vmap_lanes(), all_queries.shape[0])
         for start in range(0, all_queries.shape[0], lanes):
             chunk = all_queries[start : start + lanes]
             if self._hi_dtype is not None:

@@ -148,3 +148,42 @@ def test_expansion_multi_ct_full_ring():
             got = enc_mod.decrypt(tkr.ctx, tkr.sk, out[i])
             want = expected if i == index else 0
             assert got[0] == want and got[1:].sum() == 0, i
+
+
+def test_expand_batch_matches_single(tk):
+    """expand_single_batch lane b == expand_single on ct b, bit for bit."""
+    cts = jnp.stack(
+        [
+            _encrypt_coeffs(tk, {0: 1}),
+            _encrypt_coeffs(tk, {3: 3, 2: 2, 1: 1}),
+            _encrypt_coeffs(tk, {5: 7}),
+        ]
+    )
+    num_items = 6
+    got = expand.expand_single_batch(tk.ctx, _gk(tk), cts, num_items)
+    assert got.shape[:2] == (3, num_items)
+    for b in range(3):
+        single = expand.expand_single(tk.ctx, _gk(tk), cts[b], num_items)
+        assert (np.asarray(got[b]) == np.asarray(single)).all()
+
+
+def test_expand_query_batch_matches(tk):
+    """Batched multi-ct expansion == per-query expand_query."""
+    ctx = tk.ctx
+    total = N + 5  # spills into two ciphertexts
+    q = jnp.stack(
+        [
+            jnp.stack(
+                [
+                    _encrypt_coeffs(tk, {b: 1}),
+                    _encrypt_coeffs(tk, {2 * b: 1}),
+                ]
+            )
+            for b in range(2)
+        ]
+    )  # [2, 2, 2, L, N]
+    got = expand.expand_query_batch(ctx, _gk(tk), q, total)
+    assert got.shape[:2] == (2, total)
+    for b in range(2):
+        single = expand.expand_query(ctx, _gk(tk), q[b], total)
+        assert (np.asarray(got[b]) == np.asarray(single)).all()

@@ -128,3 +128,31 @@ def test_split_pipeline_multi_ct_query():
         mono.process_request(req).SerializeToString()
         == split.process_request(req).SerializeToString()
     )
+
+
+def test_batched_wide_scan_path():
+    """process_request_batched over the wide scan kernel (planes path,
+    interpret mode) matches sequential serving byte-for-byte, including a
+    ragged tail (batch not a multiple of the lane width)."""
+    import os
+
+    params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
+    raw = generate_test_db(30, 8)
+    db = PirDatabase.create(raw, params, scan_impl="pallas")
+    assert db._use_planes
+    client = PirClient.create(params, seed=11)
+    server = PirServer.create(db, params)
+    os.environ["PIR_BATCH_LANES"] = "2"
+    try:
+        indices = [1, 9, 23]  # 3 queries, lane width 2 -> ragged tail
+        req = client.create_request(indices)
+        bat = server.process_request_batched(req)
+        seq = server.process_request(req)
+        assert len(bat.reply) == len(seq.reply) == 3
+        for a, b in zip(seq.reply, bat.reply):
+            assert list(a.ct) == list(b.ct)
+        out = client.process_response(indices, bat)
+        for i, idx in enumerate(indices):
+            assert out[i] == raw[idx]
+    finally:
+        del os.environ["PIR_BATCH_LANES"]

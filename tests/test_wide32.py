@@ -209,3 +209,74 @@ def test_database_scan_decomp_planes_matches(rng, q_bits):
         )
     )
     assert (got == expect).all()
+
+
+@pytest.mark.parametrize("q_bits", [(26, 27, 28), (26, 34, 36)])
+def test_pallas_wide_contract_matches(rng, q_bits):
+    """The S-wide kernel (batched serving) equals per-column contract_dim."""
+    from pir_tpu.core.context import PirContext
+    from pir_tpu.ops import pallas_scan, scan
+    from pir_tpu.testing.params import tiny_pir_params
+
+    ctx = PirContext(tiny_pir_params(n=256, t_bits=13, q_bits=q_bits))
+    P, D, S, L, N = 3, 7, 6, ctx.L, ctx.n
+    db = np.zeros((P, D, L, N), dtype=np.uint64)
+    sv = np.zeros((D, S, L, N), dtype=np.uint64)
+    for li, q in enumerate(ctx.ct_moduli):
+        db[:, :, li] = rng.integers(0, q, size=(P, D, N), dtype=np.uint64)
+        sv[:, :, li] = rng.integers(0, q, size=(D, S, N), dtype=np.uint64)
+
+    dbt = jnp.transpose(jnp.asarray(db), (0, 2, 1, 3))
+    dbh, dbl = pallas_scan.split_planes(dbt, ctx.ct_moduli)
+    got = np.asarray(
+        scan.contract_dim_planes_wide(
+            ctx, jnp.asarray(sv), dbh, dbl, interpret=True
+        )
+    )  # [P, S, L, N]
+    # reference: the S columns two at a time through the 2-wide base path
+    for s0 in range(0, S, 2):
+        expect = np.asarray(
+            scan.contract_dim(
+                ctx, jnp.asarray(sv[:, s0 : s0 + 2]), jnp.asarray(db)
+            )
+        )
+        assert (got[:, s0 : s0 + 2] == expect).all()
+
+
+@pytest.mark.parametrize("q_bits", [(26, 27, 28), (26, 34, 36)])
+def test_database_scan_decomp_batched_matches(rng, q_bits):
+    """Multi-query scan == per-query scans, bit for bit."""
+    from pir_tpu.core.context import PirContext
+    from pir_tpu.ops import pallas_scan, scan
+    from pir_tpu.testing.params import tiny_pir_params
+
+    ctx = PirContext(tiny_pir_params(n=256, t_bits=13, q_bits=q_bits))
+    dims = (3, 4)
+    total = 12
+    B = 3
+    db = np.zeros((total, ctx.L, ctx.n), dtype=np.uint64)
+    sv = np.zeros((B, sum(dims), 2, ctx.L, ctx.n), dtype=np.uint64)
+    for li, q in enumerate(ctx.ct_moduli):
+        db[:, li] = rng.integers(0, q, size=(total, ctx.n), dtype=np.uint64)
+        sv[:, :, :, li] = rng.integers(
+            0, q, size=(B, sum(dims), 2, ctx.n), dtype=np.uint64
+        )
+    grouped = jnp.asarray(db).reshape(
+        total // dims[-1], dims[-1], ctx.L, ctx.n
+    )
+    planes = pallas_scan.split_planes(
+        jnp.transpose(grouped, (0, 2, 1, 3)), ctx.ct_moduli
+    )
+    got = np.asarray(
+        scan.database_scan_decomp_batched(
+            ctx, dims, jnp.asarray(sv), planes, interpret=True
+        )
+    )
+    for b in range(B):
+        expect = np.asarray(
+            scan.database_scan_decomp(
+                ctx, None, dims, jnp.asarray(sv[b]), db_planes=planes,
+                interpret=True,
+            )
+        )
+        assert (got[b] == expect).all()
