@@ -47,6 +47,10 @@ class PublicKey:
 @dataclasses.dataclass
 class KSwitchKey:
     data: jnp.ndarray  # u64[L, 2, Lp, N], NTT form at key level
+    # SEAL stream-PRNG seeds (8 u64 words per component) when the a-polys
+    # were derived from seeds — enables seeded SEAL wire serialization
+    # (Serializable semantics; pir/pir/seal_compat.py).  None otherwise.
+    seeds: "list | None" = None
 
 
 @dataclasses.dataclass
@@ -100,8 +104,16 @@ def gen_kswitch_key(
     sk: SecretKey,
     target_ntt_qp: jnp.ndarray,
     rng: np.random.Generator,
+    seeded_wire: bool = False,
 ) -> KSwitchKey:
-    """Key-switching key for a target key given in NTT form over QP."""
+    """Key-switching key for a target key given in NTT form over QP.
+
+    seeded_wire: derive each component's uniform a-poly from a fresh SEAL
+    stream-PRNG seed (seal_compat.sample_poly_uniform) instead of the
+    host rng, and remember the seeds — the key then serializes in SEAL's
+    seeded (Serializable) form, c1 replaced by its seed on the wire.
+    Distribution and protocol behavior are unchanged (a is uniform either
+    way)."""
     if ctx.special is None:
         raise ValueError(
             "key switching requires a special prime (>=2 coeff moduli)"
@@ -132,11 +144,28 @@ def gen_kswitch_key(
 
         return fn
 
-    a_all = jnp.asarray(
-        np.stack(
-            [sampling.uniform_rns(rng, ctx.key_moduli, ctx.n) for _ in range(ctx.L)]
+    seeds = None
+    if seeded_wire:
+        from pir_tpu.pir import seal_compat
+
+        seeds = [seal_compat.random_prng_seed(rng) for _ in range(ctx.L)]
+        a_all = jnp.asarray(
+            np.stack(
+                [
+                    seal_compat.sample_poly_uniform(s, ctx.key_moduli, ctx.n)
+                    for s in seeds
+                ]
+            )
         )
-    )
+    else:
+        a_all = jnp.asarray(
+            np.stack(
+                [
+                    sampling.uniform_rns(rng, ctx.key_moduli, ctx.n)
+                    for _ in range(ctx.L)
+                ]
+            )
+        )
     e_all = jnp.asarray(
         np.stack(
             [
@@ -148,7 +177,7 @@ def gen_kswitch_key(
         )
     )
     data = ctx.jitted("gen_ksk", build)(a_all, e_all, sk.ntt_qp, target_ntt_qp)
-    return KSwitchKey(data=data)
+    return KSwitchKey(data=data, seeds=seeds)
 
 
 def _automorph_signed(coeffs: np.ndarray, galois_elt: int) -> np.ndarray:
@@ -165,19 +194,30 @@ def _automorph_signed(coeffs: np.ndarray, galois_elt: int) -> np.ndarray:
 
 
 def gen_galois_keys(
-    ctx: PirContext, sk: SecretKey, elts, rng: np.random.Generator
+    ctx: PirContext,
+    sk: SecretKey,
+    elts,
+    rng: np.random.Generator,
+    seeded_wire: bool = False,
 ) -> GaloisKeys:
     fwd_qp = ctx.jitted("ntt_qp_fwd", lambda: ctx.ntt_qp.forward)
     keys = {}
     for elt in elts:
         s_g = _automorph_signed(sk.coeffs, int(elt))
         target = fwd_qp(jnp.asarray(sampling.signed_to_rns(s_g, ctx.key_moduli)))
-        keys[int(elt)] = gen_kswitch_key(ctx, sk, target, rng)
+        keys[int(elt)] = gen_kswitch_key(
+            ctx, sk, target, rng, seeded_wire=seeded_wire
+        )
     return GaloisKeys(keys=keys)
 
 
 def gen_relin_key(
-    ctx: PirContext, sk: SecretKey, rng: np.random.Generator
+    ctx: PirContext,
+    sk: SecretKey,
+    rng: np.random.Generator,
+    seeded_wire: bool = False,
 ) -> RelinKeys:
     target = ctx.limbs_qp.mul(sk.ntt_qp, sk.ntt_qp)  # s^2 in NTT form
-    return RelinKeys(key=gen_kswitch_key(ctx, sk, target, rng))
+    return RelinKeys(
+        key=gen_kswitch_key(ctx, sk, target, rng, seeded_wire=seeded_wire)
+    )

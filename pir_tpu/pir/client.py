@@ -68,17 +68,26 @@ class PirClient:
         # N=4096) and replay the post-keygen rng state into self._rng so
         # subsequent query encryption randomness is bit-identical to an
         # uncached build.  seed=None clients always run fresh keygen.
-        memo_key = (params.encryption_params, seed) if seed is not None else None
+        # SEAL wire mode generates the evaluation keys with stream-PRNG-
+        # seeded a-polys so they serialize in SEAL's seeded (Serializable)
+        # form — what the reference client actually sends (client.cpp:47-54)
+        seeded_wire = wire_format == "seal"
+        memo_key = (
+            (params.encryption_params, seed, seeded_wire)
+            if seed is not None
+            else None
+        )
         hit = _KEYGEN_MEMO.get(memo_key) if memo_key is not None else None
         if hit is None:
             with self.ctx.on_host():
                 self.sk = keys_mod.gen_secret_key(self.ctx, self._rng)
                 self.pk = keys_mod.gen_public_key(self.ctx, self.sk, self._rng)
                 self.galois_keys = keys_mod.gen_galois_keys(
-                    self.ctx, self.sk, generate_galois_elts(self.ctx.n), self._rng
+                    self.ctx, self.sk, generate_galois_elts(self.ctx.n),
+                    self._rng, seeded_wire=seeded_wire,
                 )
                 self.relin_keys = keys_mod.gen_relin_key(
-                    self.ctx, self.sk, self._rng
+                    self.ctx, self.sk, self._rng, seeded_wire=seeded_wire
                 )
             if memo_key is not None:
                 if len(_KEYGEN_MEMO) >= 16:

@@ -286,27 +286,41 @@ def _b2x_params(
     xof_length: int,
     node_depth: int,
     inner_length: int,
+    key_length: int = 0,
 ) -> bytes:
     return struct.pack(
         "<BBBBIIIBB14x16x16x",
-        digest_length, 0, fanout, depth, leaf_length,
+        digest_length, key_length, fanout, depth, leaf_length,
         node_offset, xof_length, node_depth, inner_length,
     )
 
 
-def blake2xb(data: bytes, out_len: int) -> bytes:
+def blake2xb(data: bytes, out_len: int, key: bytes = b"") -> bytes:
     """BLAKE2Xb XOF per the BLAKE2X spec — SEAL's HashFunction
     (seal/util/hash.h wraps the vendored reference blake2xb).
 
     Root hash H0: digest_length 64, fanout 1, depth 1, xof_length field =
     out_len.  Output block i: digest_length min(64, remaining), fanout 0,
     depth 0, leaf_length 64, node_offset i, inner_length 64.
+
+    key: optional BLAKE2 key (<= 64 bytes) — keyed hashing pads the key
+    to one 128-byte block prepended to the message, with the root param
+    block's key_length set.  SEAL's stream PRNG keys blake2xb with the
+    512-bit PRNG seed (see BlakePrng).
     """
     if not 0 < out_len < (1 << 32):
         raise ValueError("blake2xb output length out of range")
-    h0 = _blake2b_raw(data, _b2x_params(64, 1, 1, 0, 0, out_len, 0, 0))
-    out = b""
-    i = 0
+    if len(key) > 64:
+        raise ValueError("blake2 key longer than 64 bytes")
+    msg = bytes(data)
+    if key:
+        msg = key + b"\x00" * (128 - len(key)) + msg
+    h0 = _blake2b_raw(
+        msg, _b2x_params(64, 1, 1, 0, 0, out_len, 0, 0, key_length=len(key))
+    )
+    n_full = out_len // 64
+    out = _b2x_blocks_np(h0, out_len, n_full) if n_full else b""
+    i = n_full
     while len(out) < out_len:
         take = min(64, out_len - len(out))
         out += _blake2b_raw(
@@ -314,6 +328,69 @@ def blake2xb(data: bytes, out_len: int) -> bytes:
         )[:take]
         i += 1
     return out
+
+
+def _b2_compress_np(h: np.ndarray, m: np.ndarray, t: int, last: bool):
+    """_b2_compress vectorized over K independent lanes (numpy u64 wrap).
+
+    h: u64[K, 8] states; m: u64[K, 16] message words; same t/last for all.
+    The BLAKE2X output stage hashes many 64-byte blocks that differ only
+    in node_offset — one vectorized compression replaces K Python ones.
+    """
+    K = h.shape[0]
+    v = np.concatenate(
+        [h, np.tile(np.array(_B2_IV, dtype=np.uint64), (K, 1))], axis=1
+    )
+    v[:, 12] ^= np.uint64(t & _M64)
+    v[:, 13] ^= np.uint64((t >> 64) & _M64)
+    if last:
+        v[:, 14] ^= np.uint64(_M64)
+
+    def rotr(x, r):
+        return (x >> np.uint64(r)) | (x << np.uint64(64 - r))
+
+    def g(a, b, c, d, x, y):
+        v[:, a] += v[:, b] + x
+        v[:, d] = rotr(v[:, d] ^ v[:, a], 32)
+        v[:, c] += v[:, d]
+        v[:, b] = rotr(v[:, b] ^ v[:, c], 24)
+        v[:, a] += v[:, b] + y
+        v[:, d] = rotr(v[:, d] ^ v[:, a], 16)
+        v[:, c] += v[:, d]
+        v[:, b] = rotr(v[:, b] ^ v[:, c], 63)
+
+    for r in range(12):
+        s = _B2_SIGMA[r]
+        g(0, 4, 8, 12, m[:, s[0]], m[:, s[1]])
+        g(1, 5, 9, 13, m[:, s[2]], m[:, s[3]])
+        g(2, 6, 10, 14, m[:, s[4]], m[:, s[5]])
+        g(3, 7, 11, 15, m[:, s[6]], m[:, s[7]])
+        g(0, 5, 10, 15, m[:, s[8]], m[:, s[9]])
+        g(1, 6, 11, 12, m[:, s[10]], m[:, s[11]])
+        g(2, 7, 8, 13, m[:, s[12]], m[:, s[13]])
+        g(3, 4, 9, 14, m[:, s[14]], m[:, s[15]])
+    return h ^ v[:, :8] ^ v[:, 8:]
+
+
+def _b2x_blocks_np(h0: bytes, out_len: int, n_blocks: int) -> bytes:
+    """The first n_blocks full 64-byte BLAKE2X output blocks, vectorized."""
+    # per-block init: IV ^ param words; only word 1's low half (node_offset
+    # = block index) varies across blocks
+    base = np.array(
+        struct.unpack(
+            "<8Q", _b2x_params(64, 0, 0, 64, 0, out_len, 0, 64)
+        ),
+        dtype=np.uint64,
+    )
+    iv = np.array(_B2_IV, dtype=np.uint64)
+    h = np.tile(iv ^ base, (n_blocks, 1))
+    h[:, 1] ^= np.arange(n_blocks, dtype=np.uint64)
+    # message: h0 padded to one 128-byte block, same for every lane
+    m = np.tile(
+        np.frombuffer(h0 + b"\x00" * 64, dtype="<u8"), (n_blocks, 1)
+    ).astype(np.uint64)
+    out = _b2_compress_np(h, m, 64, True)
+    return out.astype("<u8").tobytes()
 
 
 def parms_id_for(
@@ -342,6 +419,93 @@ def parms_id_for(
 
 
 # ---------------------------------------------------------------------------
+# SEAL 3.5 stream PRNG (BlakePRNG) + uniform poly sampling — the machinery
+# behind *seeded* ciphertext payloads (Serializable<GaloisKeys> etc.).
+#
+# Derivation (seal/randomgen.{h,cpp}, seal/util/rlwe.cpp — reconstructed
+# from the SEAL 3.5 API; see SEAL_STREAM.md "Seeded streams" for the exact
+# assumptions and the offline-validation caveat):
+#   * prng_seed_type = array<uint64_t, 8> (512-bit seed).
+#   * BlakePRNG refills a 4096-byte buffer per request:
+#       blake2xb(buffer, 4096, in=&counter_ (8 bytes LE), key=seed (64 B))
+#     with counter_ starting at 0 and incremented per refill.
+#   * RandomToStandardAdapter yields uint32 draws = 4 consecutive buffer
+#     bytes, little-endian.
+#   * sample_poly_uniform: per modulus q, per coefficient:
+#       do { rand = (u64(draw()) << 32) | draw(); } while (rand >= max_mult)
+#       dest = rand % q,   max_mult = 2^64-1 - ((2^64-1) mod q) - 1
+#     (first draw is the HIGH word — C++ evaluation order assumption).
+# ---------------------------------------------------------------------------
+
+PRNG_SEED_BYTES = 64  # prng_seed_uint64_count (8) * 8
+_PRNG_BUFFER = 4096
+
+
+class BlakePrng:
+    """SEAL 3.5's buffered blake2xb counter PRNG."""
+
+    def __init__(self, seed_words):
+        seed_words = [int(w) for w in seed_words]
+        if len(seed_words) != 8:
+            raise ValueError("PRNG seed must be 8 u64 words")
+        self._key = struct.pack("<8Q", *seed_words)
+        self._counter = 0
+        self._buf = b""
+        self._pos = 0
+
+    def generate(self, n: int) -> bytes:
+        out = bytearray()
+        while len(out) < n:
+            if self._pos >= len(self._buf):
+                self._buf = blake2xb(
+                    struct.pack("<Q", self._counter), _PRNG_BUFFER,
+                    key=self._key,
+                )
+                self._counter += 1
+                self._pos = 0
+            take = min(n - len(out), len(self._buf) - self._pos)
+            out += self._buf[self._pos : self._pos + take]
+            self._pos += take
+        return bytes(out)
+
+
+def sample_poly_uniform(seed_words, moduli, n: int) -> np.ndarray:
+    """Uniform RNS poly u64[L, N] from a PRNG seed — SEAL 3.5's
+    sample_poly_uniform consuming a BlakePRNG (the c1/"a" expansion of a
+    seeded ciphertext).  Bulk path with an exact sequential fallback when
+    a rejection occurs (probability ~ q/2^64 per coefficient)."""
+    prng = BlakePrng(seed_words)
+    L = len(moduli)
+    out = np.zeros((L, n), dtype=np.uint64)
+    max_random = (1 << 64) - 1
+    for j, q in enumerate(moduli):
+        q = int(q)
+        max_mult = max_random - (max_random % q) - 1
+        raw = np.frombuffer(prng.generate(8 * n), dtype="<u4").astype(
+            np.uint64
+        )
+        rand = (raw[0::2] << np.uint64(32)) | raw[1::2]
+        reject = rand >= np.uint64(max_mult)
+        if reject.any():
+            # exact sequential redraw from the stream for rejected coeffs
+            vals = rand.copy()
+            for i in np.nonzero(reject)[0]:
+                r = int(vals[i])
+                while r >= max_mult:
+                    w = np.frombuffer(prng.generate(8), dtype="<u4")
+                    r = (int(w[0]) << 32) | int(w[1])
+                vals[i] = r
+            rand = vals
+        out[j] = rand % np.uint64(q)
+    return out
+
+
+def random_prng_seed(rng: "np.random.Generator") -> tuple:
+    """A fresh 512-bit PRNG seed as 8 u64 words."""
+    return tuple(int(x) for x in rng.integers(0, 1 << 64, 8, dtype=np.uint64))
+
+
+# ---------------------------------------------------------------------------
 # Ciphertext streams
 # ---------------------------------------------------------------------------
 
@@ -356,11 +520,28 @@ def _wrap(payload: bytes) -> bytes:
 SEED_MARKER = 0xFFFFFFFFFFFFFFFF  # seeded-ciphertext indicator word
 
 
-def _ct_payload(ct: np.ndarray, ep: EncryptionParams, is_ntt: bool) -> bytes:
+def _ct_payload(
+    ct: np.ndarray, ep: EncryptionParams, is_ntt: bool, seed=None
+) -> bytes:
     ct = np.ascontiguousarray(ct, dtype=np.uint64)
     if ct.ndim != 3:
         raise ValueError("ciphertext must be [size, L, N]")
     size, L, n = ct.shape
+    if seed is not None:
+        # seeded form (SEAL 3.5 encrypt_zero_symmetric save_seed): the c1
+        # poly slot carries the marker word + the 8-word PRNG seed, the
+        # rest zeros — the data array keeps its full length (3.5 relies on
+        # deflate for the size win; explicit short streams arrived in 3.6)
+        if size != 2:
+            raise ValueError("seeded serialization needs a size-2 ciphertext")
+        seed = [int(w) for w in seed]
+        if len(seed) != 8:
+            raise ValueError("PRNG seed must be 8 u64 words")
+        ct = ct.copy()
+        flat1 = ct[1].reshape(-1)
+        flat1[:] = 0
+        flat1[0] = SEED_MARKER
+        flat1[1:9] = np.array(seed, dtype=np.uint64)
     # a ct with L limbs lives at the L-prime chain level; key-level objects
     # (L == full chain) naturally hash the whole chain
     payload = struct.pack("<4Q", *parms_id_for(ep, int(L)))
@@ -370,7 +551,7 @@ def _ct_payload(ct: np.ndarray, ep: EncryptionParams, is_ntt: bool) -> bytes:
     # in BFV (SEAL_STREAM.md "the scale double")
     payload += struct.pack("<d", 1.0)
     # data_ is an IntArray saved through Serialization::Save: a full
-    # nested stream (header + word count + words), not bare words
+    # nested stream (header + count + words), not bare words
     words = struct.pack("<Q", size * L * n) + ct.astype("<u8").tobytes()
     payload += _wrap(words)
     return payload
@@ -413,11 +594,17 @@ def _parse_ct_payload(b: bytes, off: int, ep: EncryptionParams):
     data = np.frombuffer(b, dtype="<u8", offset=off + 24, count=words)
     end = off + arr_hdr["size"]
     ct = data.reshape(int(size), int(L), int(n)).copy()
-    if size >= 2 and ct[1].flat[0] == SEED_MARKER:
-        raise ValueError(
-            "seeded SEAL ciphertext streams are not supported (c1 replaced "
-            "by a PRNG seed — see SEAL_STREAM.md); re-serialize in full form"
-        )
+    if size == 2 and ct[1].flat[0] == SEED_MARKER:
+        # seeded stream: c1 was replaced by [marker, 8-word PRNG seed];
+        # regenerate it with SEAL's blake2xb stream PRNG (the reference
+        # client sends its evaluation keys in exactly this form —
+        # Serializable<GaloisKeys>, pir/cpp/client.cpp:47-54)
+        if L * n < 9:
+            raise ValueError("seeded ciphertext too small to hold a seed")
+        seed = ct[1].reshape(-1)[1:9]
+        ct[1] = sample_poly_uniform(seed, ep.coeff_modulus[: int(L)], int(n))
+    elif size > 2 and ct[1].flat[0] == SEED_MARKER:
+        raise ValueError("seeded serialization is only defined for size 2")
     return ct, bool(is_ntt), tuple(int(x) for x in pid), end
 
 
@@ -448,19 +635,29 @@ def load_ciphertext(b: bytes, ep: EncryptionParams) -> np.ndarray:
 
 
 def save_kswitch_keys(
-    rows: "list[list[np.ndarray]]", ep: EncryptionParams
+    rows: "list[list[np.ndarray]]", ep: EncryptionParams, seeds=None
 ) -> bytes:
     """rows[i] = list of [2, Lp, N] key ciphertexts (NTT form) for row i.
 
     GaloisKeys rows are indexed by (galois_elt - 1) / 2 — empty rows are
     allowed; RelinKeys have a single row for s².
+
+    seeds: optional parallel structure (seeds[i][j] = 8-word PRNG seed or
+    None) — components whose c1 was derived from a SEAL stream PRNG seed
+    are emitted in seeded form (Serializable semantics, ~2x smaller after
+    deflate), exactly what the reference client sends (client.cpp:47-54).
     """
     payload = struct.pack("<4Q", *parms_id_for(ep))
     payload += struct.pack("<Q", len(rows))
-    for row in rows:
+    for ri, row in enumerate(rows):
         payload += struct.pack("<Q", len(row))
-        for ct in row:
-            payload += _wrap(_ct_payload(np.asarray(ct), ep, is_ntt=True))
+        for ci, ct in enumerate(row):
+            seed = None
+            if seeds is not None and seeds[ri] is not None:
+                seed = seeds[ri][ci]
+            payload += _wrap(
+                _ct_payload(np.asarray(ct), ep, is_ntt=True, seed=seed)
+            )
     return _wrap(payload)
 
 
@@ -537,6 +734,21 @@ def galois_rows_from_dict(keys: dict, n: int) -> "list[list[np.ndarray]]":
     while rows and not rows[-1]:
         rows.pop()
     return rows
+
+
+def galois_seed_rows(keys: dict, n: int) -> "list | None":
+    """The per-component PRNG seeds of galois_rows_from_dict's layout, or
+    None when any key lacks them (keys not generated with seeded_wire)."""
+    if not keys:
+        return None
+    if any(getattr(k, "seeds", None) is None for k in keys.values()):
+        return None
+    rows = [None] * n
+    last = 0
+    for elt, key in keys.items():
+        rows[(elt - 1) // 2] = list(key.seeds)
+        last = max(last, (elt - 1) // 2)
+    return rows[: last + 1]
 
 
 def galois_dict_from_rows(rows: "list[list[np.ndarray]]") -> dict:

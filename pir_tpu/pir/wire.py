@@ -143,7 +143,9 @@ def serialize_galois_keys(
         if n is None:
             n = seal_ep.poly_modulus_degree
         return seal_compat.save_kswitch_keys(
-            seal_compat.galois_rows_from_dict(gk.keys, n), seal_ep
+            seal_compat.galois_rows_from_dict(gk.keys, n),
+            seal_ep,
+            seeds=seal_compat.galois_seed_rows(gk.keys, n),
         )
     elts = sorted(gk.keys)
     blob = struct.pack("<I", len(elts))
@@ -187,8 +189,11 @@ def serialize_relin_keys(
         from pir_tpu.pir import seal_compat
 
         data = np.asarray(rk.key.data)  # [L, 2, Lp, N]
+        seeds = getattr(rk.key, "seeds", None)
         return seal_compat.save_kswitch_keys(
-            [[data[i] for i in range(data.shape[0])]], seal_ep
+            [[data[i] for i in range(data.shape[0])]],
+            seal_ep,
+            seeds=[list(seeds)] if seeds is not None else None,
         )
     return pack_array(np.asarray(rk.key.data))
 

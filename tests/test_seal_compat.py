@@ -266,13 +266,100 @@ def test_ciphertext_bad_scale_rejected():
         seal_compat.load_ciphertext(bytes(bad), ep)
 
 
-def test_seeded_ciphertext_rejected_with_clear_error():
+def test_seeded_ciphertext_expands_deterministically():
+    """A marker+seed c1 slot expands via the SEAL stream PRNG on load."""
     ep = tiny_encryption_params(n=64)
     ct = _random_ct(ep)
-    ct[1].flat[0] = np.uint64(seal_compat.SEED_MARKER)
+    seed = tuple(range(1, 9))
+    flat1 = ct[1].reshape(-1)
+    flat1[:] = 0
+    flat1[0] = np.uint64(seal_compat.SEED_MARKER)
+    flat1[1:9] = np.array(seed, dtype=np.uint64)
     blob = seal_compat.save_ciphertext(ct, ep)
-    with pytest.raises(ValueError, match="seeded"):
-        seal_compat.load_ciphertext(blob, ep)
+    got = seal_compat.load_ciphertext(blob, ep)
+    L, n = ct.shape[1], ct.shape[2]
+    expect = seal_compat.sample_poly_uniform(seed, ep.coeff_modulus[:L], n)
+    assert (got[0] == ct[0]).all()
+    assert (got[1] == expect).all()
+    # and twice gives the same expansion (pure function of the seed)
+    again = seal_compat.load_ciphertext(blob, ep)
+    assert (again == got).all()
+
+
+def test_seeded_emit_accept_roundtrip_kswitch():
+    """Keys generated with seeded_wire serialize seeded and load back to
+    the exact same arrays as their full-form serialization."""
+    from pir_tpu.bfv import keys as keys_mod
+    from pir_tpu.core.context import PirContext
+    from pir_tpu.testing.params import tiny_pir_params
+
+    params = tiny_pir_params(n=64, t_bits=12)
+    ctx = PirContext(params)
+    ep = params.encryption_params
+    rng = np.random.default_rng(9)
+    sk = keys_mod.gen_secret_key(ctx, rng)
+    gk = keys_mod.gen_galois_keys(ctx, sk, [65, 33], rng, seeded_wire=True)
+    for key in gk.keys.values():
+        assert key.seeds is not None and len(key.seeds) == ctx.L
+    rows = seal_compat.galois_rows_from_dict(gk.keys, 64)
+    seeds = seal_compat.galois_seed_rows(gk.keys, 64)
+    blob_seeded = seal_compat.save_kswitch_keys(rows, ep, seeds=seeds)
+    blob_full = seal_compat.save_kswitch_keys(rows, ep)
+    assert blob_seeded != blob_full  # seeded form differs on the wire
+    # the seeded stream visibly carries the marker word
+    assert struct.pack("<Q", seal_compat.SEED_MARKER) in blob_seeded
+    got_seeded = seal_compat.load_kswitch_keys(blob_seeded, ep)
+    got_full = seal_compat.load_kswitch_keys(blob_full, ep)
+    assert len(got_seeded) == len(got_full)
+    for rs, rf in zip(got_seeded, got_full):
+        assert len(rs) == len(rf)
+        for a, b in zip(rs, rf):
+            assert (a == b).all()
+
+
+def test_seeded_keys_without_seeds_not_marked():
+    """Keys generated without seeded_wire have no seeds and serialize in
+    full form (galois_seed_rows returns None)."""
+    from pir_tpu.bfv import keys as keys_mod
+    from pir_tpu.core.context import PirContext
+    from pir_tpu.testing.params import tiny_pir_params
+
+    params = tiny_pir_params(n=64, t_bits=12)
+    ctx = PirContext(params)
+    rng = np.random.default_rng(9)
+    sk = keys_mod.gen_secret_key(ctx, rng)
+    gk = keys_mod.gen_galois_keys(ctx, sk, [65], rng)
+    assert seal_compat.galois_seed_rows(gk.keys, 64) is None
+
+
+def test_blake2xb_keyed_matches_hashlib_root():
+    """The keyed BLAKE2b core (the PRNG's root hash) against hashlib."""
+    import hashlib
+
+    key = bytes(range(64))
+    msg = b"some message bytes"
+    mine = seal_compat._blake2b_raw(
+        key + b"\x00" * 64 + msg,
+        seal_compat._b2x_params(64, 1, 1, 0, 0, 0, 0, 0, key_length=64),
+    )
+    assert mine == hashlib.blake2b(msg, digest_size=64, key=key).digest()
+
+
+def test_blake2xb_vectorized_output_blocks():
+    """The numpy-vectorized XOF output stage equals the scalar path."""
+    for out_len in (64, 200, 4096):
+        h0 = seal_compat._blake2b_raw(
+            b"x", seal_compat._b2x_params(64, 1, 1, 0, 0, out_len, 0, 0)
+        )
+        scalar = b""
+        i = 0
+        while len(scalar) < out_len:
+            take = min(64, out_len - len(scalar))
+            scalar += seal_compat._blake2b_raw(
+                h0, seal_compat._b2x_params(take, 0, 0, 64, i, out_len, 0, 64)
+            )[:take]
+            i += 1
+        assert seal_compat.blake2xb(b"x", out_len) == scalar
 
 
 def test_kswitch_bad_nested_length_rejected():
