@@ -13,7 +13,10 @@ from pir_tpu.pir.server import PirServer
 
 import os
 db_size = int(os.environ.get("DB", 1 << 20))
-params = create_pir_parameters(db_size, 288, 2, generate_encryption_params(4096, 24))
+profile = os.environ.get("PROFILE", "seal")
+params = create_pir_parameters(
+    db_size, 288, 2, generate_encryption_params(4096, 24, profile=profile)
+)
 ctx = PirContext(params)
 dims = params.dimensions
 dim_sum = params.dimensions_sum

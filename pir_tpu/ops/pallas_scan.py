@@ -471,9 +471,13 @@ def contract_dim_raw_wide(
     while bn > 128 and S * L * D * bn * 8 > (6 << 20):
         bn //= 2
     assert N % bn == 0
-    # VMEM stack budget: per-sub-chunk temporaries scale with S·sub·bn
-    # (the single-query kernels' bound was size 2 · D · bn <= 2·_MAX_D_BN)
-    sub = max(8, min(max_raw_chunk(moduli), D, (2 * _MAX_D_BN) // (S * bn)))
+    # VMEM stack budget: per-sub-chunk temporaries scale with S·sub·bn.
+    # The single-query kernels' bound was size 2 · D · bn <= 2·_MAX_D_BN;
+    # the carried 96-bit accumulator adds ~3 words of [S, bn] per limb on
+    # top, so this kernel keeps a ~25% margin below that (S·sub·bn at
+    # 2·_MAX_D_BN measured 16.17M scoped VMEM vs the 16M limit at the
+    # 1M-DB batch-4 shape).
+    sub = max(8, min(max_raw_chunk(moduli), D, (3 * _MAX_D_BN // 2) // (S * bn)))
 
     sv_t = jnp.transpose(sv_ntt, (1, 2, 0, 3))  # [S, L, D, N]
 

@@ -23,7 +23,9 @@ def tables_4096():
     return NttTables(moduli, 4096)
 
 
-@pytest.mark.parametrize("batch", [1, 3, 5])
+# batch 1 exercises the block-shrink path, 5 the pad-to-block_b path;
+# batch 3 duplicated 5's padding coverage at ~30s of interpreter time
+@pytest.mark.parametrize("batch", [1, 5])
 def test_interpret_matches_reference(tables_4096, batch, rng):
     t = tables_4096
     L = len(t.moduli)
@@ -64,7 +66,7 @@ def test_use_impl_dispatch(tables_4096, rng):
     t = tables_4096
     L = len(t.moduli)
     x = jnp.asarray(
-        rng.integers(0, min(t.moduli), (2, L, 4096), dtype=np.uint64)
+        rng.integers(0, min(t.moduli), (1, L, 4096), dtype=np.uint64)
     )
     ref = t.forward(x)  # default on CPU resolves to xla
     with ntt_mod.use_impl("mxu_interpret"):

@@ -31,7 +31,9 @@ def _rand_poly(rng, tables, batch=()):
     return out
 
 
-@pytest.mark.parametrize("n", [256, 512])
+@pytest.mark.parametrize(
+    "n", [256, pytest.param(512, marks=pytest.mark.slow)]
+)
 def test_matches_xla_both_directions(rng, n):
     t = _tables(n)
     x = _rand_poly(rng, t, batch=(3,))

@@ -187,7 +187,7 @@ def test_database_scan_decomp_planes_matches(rng, q_bits):
     from pir_tpu.ops import pallas_scan, scan
     from pir_tpu.testing.params import tiny_pir_params
 
-    ctx = PirContext(tiny_pir_params(n=256, t_bits=13, q_bits=q_bits))
+    ctx = PirContext(tiny_pir_params(n=128, t_bits=13, q_bits=q_bits))
     dims = (3, 4)
     total = 12
     db = np.zeros((total, ctx.L, ctx.n), dtype=np.uint64)
@@ -250,10 +250,10 @@ def test_database_scan_decomp_batched_matches(rng, q_bits):
     from pir_tpu.ops import pallas_scan, scan
     from pir_tpu.testing.params import tiny_pir_params
 
-    ctx = PirContext(tiny_pir_params(n=256, t_bits=13, q_bits=q_bits))
+    ctx = PirContext(tiny_pir_params(n=128, t_bits=13, q_bits=q_bits))
     dims = (3, 4)
     total = 12
-    B = 3
+    B = 2
     db = np.zeros((total, ctx.L, ctx.n), dtype=np.uint64)
     sv = np.zeros((B, sum(dims), 2, ctx.L, ctx.n), dtype=np.uint64)
     for li, q in enumerate(ctx.ct_moduli):
