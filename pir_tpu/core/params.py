@@ -172,6 +172,12 @@ class PirParams:
     items_per_plaintext: int
     bits_per_coeff: int = 0
     use_ciphertext_multiplication: bool = False
+    # Digit-width policy for the recursion's ciphertext re-encoding
+    # (payload.proto field 9): 0 = legacy (reference-exact, every digit
+    # floor(log2 t) bits, ct_reencoder.cpp:29-38), 1 = balanced (same digit
+    # counts — so ExpansionRatio and reply shapes are identical — but
+    # per-limb balanced widths, giving several extra bits of noise margin).
+    reencode_mode: int = 0
 
     @property
     def effective_bits_per_coeff(self) -> int:
@@ -218,13 +224,23 @@ def create_pir_parameters(
     enc_params: Optional[EncryptionParams] = None,
     use_ciphertext_multiplication: bool = False,
     bits_per_coeff: int = 0,
+    reencode_digits: str = "balanced",
 ) -> PirParams:
     """Derive the full PIR parameter set from a database description.
 
     Parity with CreatePIRParameters (pir/cpp/parameters.cpp:56-107),
     including the bytes_per_item == 0 degenerate mode (one whole plaintext
     per item, used by the integer-database test path).
+
+    reencode_digits: "balanced" (default — per-limb balanced digit widths
+    for the d>=2 ciphertext re-encoding; same digit counts and reply
+    shapes as the reference, several extra bits of noise margin) or
+    "legacy" (byte-identical digits to the reference's
+    CiphertextReencoder; required when a reference binary must decode the
+    replies — SEAL wire mode enforces it).
     """
+    if reencode_digits not in ("balanced", "legacy"):
+        raise ValueError(f"unknown reencode_digits policy {reencode_digits!r}")
     if enc_params is None:
         enc_params = generate_encryption_params()
     enc_params.validate()
@@ -255,4 +271,5 @@ def create_pir_parameters(
         items_per_plaintext=items_per_pt,
         bits_per_coeff=bits_per_coeff,
         use_ciphertext_multiplication=use_ciphertext_multiplication,
+        reencode_mode=1 if reencode_digits == "balanced" else 0,
     )

@@ -210,10 +210,18 @@ class _LimbShardView:
             self.p_inv_mod_q_shoup = tabs["p_inv_mod_q_shoup"]
 
         # digit decomposition with the cross-limb all_gather (see module doc)
-        bits = decompose.pt_bits_per_coeff(ctx)
         ratios = decompose.local_expansion_ratios(ctx)
         max_r = max(ratios)
-        mask = jnp.uint64((1 << bits) - 1)
+        # per-limb digit widths (uniform pt_bits in legacy mode, balanced
+        # otherwise — ops/decompose.digit_widths); this device's slice is
+        # selected by the traced shard offset
+        widths_all = jnp.asarray(
+            np.array(decompose.digit_widths(ctx), dtype=np.uint64)
+        )
+        w_loc = jax.lax.dynamic_slice_in_dim(
+            widths_all, self._offset, l_local
+        )[:, None]  # [L_local, 1] vs [..., L_local, N]
+        mask_loc = (jnp.uint64(1) << w_loc) - jnp.uint64(1)
         # valid (limb, digit) slots of the uniform max_r grid, in the
         # reference's (limb, digit) order (ct_reencoder.cpp:49-67)
         sel_idx = np.array(
@@ -228,7 +236,10 @@ class _LimbShardView:
             # < 2^(r_i*bits)), so a uniform max_r grid is safe and keeps
             # one traced shape across devices with unequal ratios.
             digits = jnp.stack(
-                [(ct >> jnp.uint64(d * bits)) & mask for d in range(max_r)],
+                [
+                    (ct >> (jnp.uint64(d) * w_loc)) & mask_loc
+                    for d in range(max_r)
+                ],
                 axis=-2,
             )  # [..., size, L_local, max_r, N]
             full = jax.lax.all_gather(

@@ -57,6 +57,17 @@ class PirClient:
                 "seeded query compression is a native-codec extension; "
                 "SEAL wire mode sends full ciphertexts"
             )
+        if (
+            wire_format == "seal"
+            and len(params.dimensions) > 1
+            and not params.use_ciphertext_multiplication
+            and getattr(params, "reencode_mode", 0) != 0
+        ):
+            raise ValueError(
+                "SEAL wire mode requires legacy re-encode digits (the "
+                "reference's CiphertextReencoder cannot decode balanced-"
+                'width replies) — create params with reencode_digits="legacy"'
+            )
         self.wire_format = wire_format
         self.compress_queries = compress_queries
         self.params = params

@@ -454,6 +454,17 @@ class PirServer:
                 if len(q.ct)
             )
             mode = "seal" if is_seal else "native"
+        if (
+            mode == "seal"
+            and len(self.params.dimensions) > 1
+            and not self.params.use_ciphertext_multiplication
+            and getattr(self.params, "reencode_mode", 0) != 0
+        ):
+            raise ValueError(
+                "SEAL-wire request against balanced re-encode params: a "
+                "reference client cannot recompose balanced-width reply "
+                'digits — build the deployment with reencode_digits="legacy"'
+            )
         return self.params.encryption_params if mode == "seal" else None
 
     # ------------------------------------------------------------------

@@ -260,6 +260,7 @@ def pir_params_to_proto(p: PirParams, wire_format: str = "native") -> pb.PIRPara
     msg.items_per_plaintext = p.items_per_plaintext
     msg.bits_per_coeff = p.bits_per_coeff
     msg.use_ciphertext_multiplication = p.use_ciphertext_multiplication
+    msg.reencode_mode = p.reencode_mode
     return msg
 
 
@@ -275,6 +276,7 @@ def pir_params_from_proto(msg: pb.PIRParameters) -> PirParams:
         items_per_plaintext=msg.items_per_plaintext,
         bits_per_coeff=msg.bits_per_coeff,
         use_ciphertext_multiplication=msg.use_ciphertext_multiplication,
+        reencode_mode=msg.reencode_mode,
     )
 
 

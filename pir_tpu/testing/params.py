@@ -33,6 +33,7 @@ def tiny_pir_params(
     use_ciphertext_multiplication: bool = False,
     bits_per_coeff: int = 0,
     q_bits=(26, 27, 28),
+    reencode_digits: str = "balanced",
 ) -> PirParams:
     return create_pir_parameters(
         dbsize,
@@ -41,4 +42,5 @@ def tiny_pir_params(
         tiny_encryption_params(n, t_bits, q_bits),
         use_ciphertext_multiplication,
         bits_per_coeff,
+        reencode_digits=reencode_digits,
     )

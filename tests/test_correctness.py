@@ -181,6 +181,7 @@ def test_roundtrip_tiny_seal_wire(dbsize, elem, d, n, t_bits, bpc, indices):
         n=n,
         t_bits=t_bits,
         bits_per_coeff=bpc,
+        reencode_digits="legacy",
     )
     _roundtrip(params, indices, wire_format="seal")
 

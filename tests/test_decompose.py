@@ -25,6 +25,44 @@ def test_expansion_ratio_default_4096_params():
     assert decompose.expansion_ratio(ctx) == 4
 
 
+def test_digit_widths_balanced_vs_legacy():
+    """Balanced mode keeps the digit counts (reply shapes) but shrinks the
+    per-digit magnitude — the free noise margin (ops/decompose docstring)."""
+    enc = generate_encryption_params(4096, 20)
+    legacy = create_pir_parameters(10, 0, 1, enc, reencode_digits="legacy")
+    balanced = create_pir_parameters(10, 0, 1, enc)  # default
+    ctx_l, ctx_b = PirContext(legacy), PirContext(balanced)
+    assert legacy.reencode_mode == 0 and balanced.reencode_mode == 1
+    # same counts -> same ExpansionRatio -> same reply shapes
+    assert decompose.local_expansion_ratios(ctx_l) == decompose.local_expansion_ratios(ctx_b)
+    assert decompose.digit_widths(ctx_l) == [19, 19]
+    assert decompose.digit_widths(ctx_b) == [18, 18]  # 36-bit limbs, 2 digits
+    # balanced widths always fit a plaintext coefficient
+    assert all(w <= decompose.pt_bits_per_coeff(ctx_b)
+               for w in decompose.digit_widths(ctx_b))
+
+
+@pytest.mark.parametrize("mode", ["legacy", "balanced"])
+def test_decompose_roundtrip_both_modes(mode):
+    params = tiny_pir_params(n=64, t_bits=12, reencode_digits=mode)
+    ctx = PirContext(params)
+    rng = np.random.default_rng(5)
+    ct = _rand_ct_words(ctx, rng)
+    pts = np.asarray(decompose.decompose_ct(ctx, jnp.asarray(ct)))
+    widths = decompose.digit_widths(ctx)
+    assert pts.max() < ctx.t  # every digit is a valid plaintext coefficient
+    back = decompose.compose_ct(ctx, pts, 2)
+    assert (back == ct).all()
+    if mode == "balanced":
+        # magnitude strictly below the balanced width bound per limb
+        er_off = 0
+        pts2 = pts.reshape(2, -1, ctx.n)
+        for r, w in zip(decompose.local_expansion_ratios(ctx), widths):
+            chunk = pts2[:, er_off : er_off + r]
+            assert int(chunk.max()) < (1 << w)
+            er_off += r
+
+
 @pytest.fixture(scope="module")
 def tk():
     return make_toolkit(tiny_pir_params(n=64, t_bits=12))

@@ -62,9 +62,22 @@ def test_seal_wire_roundtrip_d1():
 
 
 def test_seal_wire_roundtrip_d2():
+    # recursion replies must use legacy (reference-width) re-encode digits
+    # in SEAL wire mode — balanced params are rejected (guard tested below)
     _roundtrip_seal(
-        tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64), [1, 25]
+        tiny_pir_params(
+            dbsize=30, bytes_per_item=8, dimensions=2, n=64,
+            reencode_digits="legacy",
+        ),
+        [1, 25],
     )
+
+
+def test_seal_wire_rejects_balanced_reencode_d2():
+    params = tiny_pir_params(dbsize=30, bytes_per_item=8, dimensions=2, n=64)
+    assert params.reencode_mode == 1
+    with pytest.raises(ValueError, match="legacy"):
+        PirClient(params, seed=7, wire_format="seal")
 
 
 def test_seal_wire_roundtrip_ct_mult():
