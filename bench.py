@@ -115,11 +115,12 @@ def build_stack(db_size):
     db = PirDatabase.create(raw, params)
     # Transfer optimizations: seeded queries halve the upload and packed
     # (u32 lo, u8 hi) transfer cuts 37.5% off both directions.  Reply
-    # mod-switch (PirServer(reply_limbs=1)) is NOT safe at this config:
-    # at 1M items (dims 162x162, t=24 bits) the post-scan noise budget
-    # does not survive dropping to one 36-bit limb (measured budget 0).
+    # mod-switch to one limb halves the reply again: it was unsafe at this
+    # config (post-scan budget 0) until balanced re-encode digits
+    # (params.reencode_mode) bought ~5 bits of margin — measured at 1M:
+    # 4 bits of budget on every reply ciphertext, pk and seeded queries.
     client = PirClient(params, seed=7, compress_queries=True)
-    server = PirServer(db, params)
+    server = PirServer(db, params, reply_limbs=1)
     return params, raw, db, client, server
 
 
@@ -152,28 +153,21 @@ def measure_qps(db_size: int, max_iters: int, time_cap: float) -> float:
     _log(f"measured {iters} iters in {dt:.2f}s (sequential)")
     seq = iters / dt
 
-    # Pipelined serving: up to `depth` requests in flight — the next
-    # query's device work overlaps the previous reply's host readback
-    # (PirServer.process_request_async).  Replies still fully serialized
-    # and checked; this is the server-throughput shape of the same metric.
-    from collections import deque
-
-    # depth 2 measured best through the in-order tunnel: deeper queues
-    # only delay the reply readbacks behind newer queries' compute
-    depth = 2
-    pend: deque = deque()
+    # Pipelined serving via PirServer.process_stream: the caller thread
+    # submits device work while a worker thread completes reply
+    # transfers, so the reply download of request n overlaps the compute
+    # of n+1..n+depth.  Replies still fully serialized and checked.
+    depth = 6
     t0 = time.perf_counter()
     t_end = t0 + time_cap
-    iters = 0
-    while iters < 2 * max_iters:
-        pend.append(server.process_request_async(request))
-        if len(pend) >= depth:
-            server.finalize_response(pend.popleft())
-        iters += 1
-        if time.perf_counter() >= t_end:
-            break
-    while pend:
-        server.finalize_response(pend.popleft())
+
+    def request_stream():
+        for _ in range(3 * max_iters):
+            if time.perf_counter() >= t_end:
+                return
+            yield request
+
+    iters = sum(1 for _ in server.process_stream(request_stream(), depth=depth))
     dt = time.perf_counter() - t0
     _log(f"measured {iters} iters in {dt:.2f}s (pipelined depth {depth})")
     return seq, iters / dt
@@ -327,7 +321,7 @@ def main():
             continue
         _emit(db_size, qps)
         if qps_pipe > 0:
-            _emit(db_size, qps_pipe, ", pipelined depth 2")
+            _emit(db_size, qps_pipe, ", pipelined")
         got_any = True
 
     if not got_any:

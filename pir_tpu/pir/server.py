@@ -15,6 +15,7 @@ from __future__ import annotations
 
 import functools
 import hashlib
+import os
 from typing import Optional
 
 import jax
@@ -416,10 +417,34 @@ class PirServer:
         return self._fetch_reply(self._run_query_device(cts, gk_arrays, rk))
 
     # ------------------------------------------------------------------
+    @staticmethod
+    def _key_digest(gal: bytes, rel: bytes) -> bytes:
+        """Cache key for a request's evaluation-key blobs.
+
+        Default: blake2b over (lengths, head/middle/tail 64KB samples of
+        each blob).  Key blobs are uniformly-random polynomial data, so
+        distinct honest key sets differ in every sampled window; a client
+        crafting two blobs that collide only corrupts its own replies
+        (the cache is consulted per request, with that request's blobs).
+        Hashing the full ~5MB cost 7.5 ms per request — ~20% of a
+        pipelined serve cycle.  Set PIR_FULL_KEY_DIGEST=1 to hash
+        everything.
+        """
+        h = hashlib.blake2b(digest_size=16)
+        full = bool(os.environ.get("PIR_FULL_KEY_DIGEST"))
+        for blob in (gal, rel):
+            h.update(len(blob).to_bytes(8, "little"))
+            if full or len(blob) <= 3 * 65536:
+                h.update(blob)
+            else:
+                mid = len(blob) // 2
+                h.update(blob[:65536])
+                h.update(blob[mid : mid + 65536])
+                h.update(blob[-65536:])
+        return h.digest()
+
     def _device_keys(self, request: pb.Request):
-        digest = hashlib.blake2b(
-            request.galois_keys + b"|" + request.relin_keys, digest_size=16
-        ).digest()
+        digest = self._key_digest(request.galois_keys, request.relin_keys)
         cached = self._key_cache.get(digest)
         if cached is not None:
             return cached
@@ -591,6 +616,38 @@ class PirServer:
 
     def process_request(self, request: pb.Request) -> pb.Response:
         return self.finalize_response(self.process_request_async(request))
+
+    def process_stream(self, requests, depth: int = 6):
+        """Serve an iterable of Requests, yielding Responses in order.
+
+        The TPU-native high-throughput serving shape: the caller's thread
+        submits device work (process_request_async) while a dedicated
+        worker thread completes reply transfers (finalize_response), with
+        up to ``depth`` requests in flight.  Through a high-latency host
+        link the reply download of request n then overlaps the device
+        compute of requests n+1..n+depth — measured 1.5x over same-thread
+        pipelining at the 1M-item benchmark config (the link cannot
+        overlap a fetch with later submissions issued from the SAME
+        thread).  Replies are bit-identical to sequential process_request
+        (the reference serves strictly sequentially, server.cpp:60-63).
+
+        A worker failure is re-raised here on the next yield; remaining
+        in-flight work is drained first.
+        """
+        from collections import deque
+        from concurrent.futures import ThreadPoolExecutor
+
+        if depth < 1:
+            raise ValueError("depth must be >= 1")
+        pend: deque = deque()
+        with ThreadPoolExecutor(max_workers=1) as ex:
+            for request in requests:
+                handle = self.process_request_async(request)
+                pend.append(ex.submit(self.finalize_response, handle))
+                while len(pend) >= depth:
+                    yield pend.popleft().result()
+            while pend:
+                yield pend.popleft().result()
 
     # ------------------------------------------------------------------
     @functools.lru_cache(maxsize=8)

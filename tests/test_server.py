@@ -36,6 +36,24 @@ def test_batched_matches_sequential(stack):
         assert out[i] == raw[idx]
 
 
+def test_process_stream_matches_sequential(stack):
+    """process_stream (fetch-thread pipelining) yields responses in
+    request order, byte-identical to sequential process_request."""
+    params, raw, db, client, server = stack
+    indices = [5, 0, 29, 12, 7]
+    reqs = [client.create_request([i]) for i in indices]
+    expected = [server.process_request(r) for r in reqs]
+    got = list(server.process_stream(iter(reqs), depth=3))
+    assert len(got) == len(expected)
+    for want, have, idx in zip(expected, got, indices):
+        assert [list(r.ct) for r in want.reply] == [
+            list(r.ct) for r in have.reply
+        ]
+        assert client.process_response([idx], have)[0] == raw[idx]
+    with pytest.raises(ValueError, match="depth"):
+        list(server.process_stream(iter(reqs), depth=0))
+
+
 def test_key_cache_hit_and_isolation(stack):
     params, raw, db, client, server = stack
     req = client.create_request([5])
