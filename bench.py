@@ -115,12 +115,22 @@ def build_stack(db_size):
     db = PirDatabase.create(raw, params)
     # Transfer optimizations: seeded queries halve the upload and packed
     # (u32 lo, u8 hi) transfer cuts 37.5% off both directions.  Reply
-    # mod-switch to one limb halves the reply again: it was unsafe at this
-    # config (post-scan budget 0) until balanced re-encode digits
-    # (params.reencode_mode) bought ~5 bits of margin — measured at 1M:
-    # 4 bits of budget on every reply ciphertext, pk and seeded queries.
+    # mod-switch drops limbs the noise budget does not need: keep the
+    # fewest leading limbs totalling >= t_bits + 12 bits (measured at the
+    # 1M seal config: one 36-bit limb leaves 4 bits of budget on every
+    # reply ciphertext, pk and seeded queries alike — only affordable
+    # since balanced re-encode digits bought ~5 bits; the tpu32 chain's
+    # 31-bit limbs keep two).
+    t_bits = params.encryption_params.plain_modulus.bit_length()
+    bits = 0
+    reply_limbs = 0
+    for q in params.encryption_params.ct_modulus:
+        bits += q.bit_length()
+        reply_limbs += 1
+        if bits >= t_bits + 12:
+            break
     client = PirClient(params, seed=7, compress_queries=True)
-    server = PirServer(db, params, reply_limbs=1)
+    server = PirServer(db, params, reply_limbs=reply_limbs)
     return params, raw, db, client, server
 
 
