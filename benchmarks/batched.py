@@ -48,8 +48,18 @@ def main():
     base = [rng.integers(0, 256, 288, dtype=np.uint8).tobytes() for _ in range(2048)]
     raw = [base[i % 2048] for i in range(size)]
     db = PirDatabase.create(raw, params)
-    client = PirClient.create(params, seed=7)
-    server = PirServer.create(db, params)
+    client = PirClient(params, seed=7, compress_queries=True)
+    # reply mod-switch: fewest leading limbs totalling >= t_bits + 12
+    # (same rule as bench.py; safe since balanced re-encode digits)
+    t_bits = params.encryption_params.plain_modulus.bit_length()
+    bits = 0
+    reply_limbs = 0
+    for q in params.encryption_params.ct_modulus:
+        bits += q.bit_length()
+        reply_limbs += 1
+        if bits >= t_bits + 12:
+            break
+    server = PirServer(db, params, reply_limbs=reply_limbs)
     backend = jax.default_backend()
 
     for b in [int(x) for x in args.batches.split(",")]:
@@ -57,11 +67,19 @@ def main():
         request = client.create_request(indices)
         resp = server.process_request_batched(request)  # compile
         out = client.process_response(indices, resp)
-        assert out[0] == raw[indices[0]]
+        assert all(out[i] == raw[indices[i]] for i in range(b))
         t0 = time.perf_counter()
         for _ in range(args.iters):
             resp = server.process_request_batched(request)
         dt = (time.perf_counter() - t0) / args.iters
+        # streamed: a queue of batch-b requests through the fetch-thread
+        # pipeline (the wide kernel serves each request in one DB pass;
+        # the worker thread overlaps reply downloads with later compute)
+        n_req = max(2 * args.iters, 6)
+        t0 = time.perf_counter()
+        for _ in server.process_stream((request for _ in range(n_req)), depth=3):
+            pass
+        dts = (time.perf_counter() - t0) / n_req
         print(
             json.dumps(
                 {
@@ -71,6 +89,7 @@ def main():
                     "batch": b,
                     "seconds_per_request": round(dt, 4),
                     "queries_per_sec": round(b / dt, 3),
+                    "queries_per_sec_streamed": round(b / dts, 3),
                 }
             ),
             flush=True,

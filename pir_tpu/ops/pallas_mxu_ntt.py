@@ -41,7 +41,14 @@ from jax.experimental.pallas import tpu as pltpu
 from pir_tpu.ops import mxu_ntt, modular, wide32
 
 LANES = 128
-DEFAULT_BLOCK_B = 4
+# Polynomials per grid step.  The block-diagonal step-1 batching (bB
+# copies of M1 on the diagonal) buys full 128-row tiles at the cost of
+# bB-fold redundant MACs; measured on v5e (round 5, fenced sweeps over
+# every production shape: sv [324,2,4096], key-switch digits/INTT
+# [128,3,4096], level-0 digits [648,2,4096]) the redundancy now costs
+# 1.4-2.5x more than the tall tiles save, so one polynomial per step —
+# [n1, n1] x [n1, n2] left dots on a quarter-height tile — is fastest.
+DEFAULT_BLOCK_B = 1
 
 
 def supported(n: int) -> bool:

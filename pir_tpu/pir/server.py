@@ -584,6 +584,23 @@ class PirServer:
                 "relinearization keys in the request"
             )
         seal_ep = self._reply_seal_ep(request)
+        if (
+            len(request.query) > 1
+            and self.db._use_planes
+            and not self.params.use_ciphertext_multiplication
+        ):
+            # multi-query request: the wide-kernel batched pipeline makes
+            # one pass over the DB planes per lane chunk (bit-identical
+            # replies to the per-query path — tests/test_server.py)
+            import numpy as np
+
+            stacks = [
+                wire.load_ciphertexts(q, self.ctx) for q in request.query
+            ]
+            if len({s.shape for s in stacks}) == 1:
+                return self._batched_wide_async(
+                    np.stack(stacks), gk_arrays, seal_ep
+                )
         handles = [
             self._run_query_device(
                 wire.load_ciphertexts(query, self.ctx), gk_arrays, rk
@@ -605,6 +622,19 @@ class PirServer:
                 for qi in range(count):
                     wire.save_ciphertexts(
                         host[qi], response.reply.add(), seal_ep=seal_ep
+                    )
+            return response
+        if pending[0] == "batched":
+            _, chunks, seal_ep = pending
+            response = pb.Response()
+            for handle, count in chunks:
+                if self._hi_dtype is not None:
+                    replies = packing.join_host(*jax.device_get(handle))
+                else:
+                    replies = jax.device_get(handle)
+                for qi in range(count):
+                    wire.save_ciphertexts(
+                        replies[qi], response.reply.add(), seal_ep=seal_ep
                     )
             return response
         handles, seal_ep = pending
@@ -791,6 +821,27 @@ class PirServer:
                 fut.result()
         self._warmed_shapes.add(key)
 
+    def _batched_wide_async(self, all_queries, gk_arrays, seal_ep):
+        """Dispatch a [Q, k, 2, L, N] query stack through the wide-kernel
+        batched pipeline; returns a pending handle for finalize_response.
+        Chunks of ``batch_lanes()`` queries each make one pass over the DB
+        planes (ragged tail padded with lane 0)."""
+        import numpy as np
+
+        lanes = min(self.batch_lanes(), all_queries.shape[0])
+        pending = []
+        for start in range(0, all_queries.shape[0], lanes):
+            chunk = all_queries[start : start + lanes]
+            if chunk.shape[0] != lanes:  # ragged tail: pad with lane 0
+                pad = lanes - chunk.shape[0]
+                chunk = np.concatenate([chunk, chunk[:1].repeat(pad, 0)])
+                pending.append((self._run_batch_device(chunk, gk_arrays),
+                                lanes - pad))
+            else:
+                pending.append((self._run_batch_device(chunk, gk_arrays),
+                                lanes))
+        return ("batched", pending, seal_ep)
+
     def _run_batch_device(self, chunk, gk_arrays):
         """One [B, k, 2, L, N] host query stack -> device replies handle."""
         import numpy as np
@@ -829,28 +880,8 @@ class PirServer:
         all_queries = np.stack(stacks)
         response = pb.Response()
         if self.db._use_planes and not self.params.use_ciphertext_multiplication:
-            lanes = min(self.batch_lanes(), all_queries.shape[0])
-            pending = []
-            for start in range(0, all_queries.shape[0], lanes):
-                chunk = all_queries[start : start + lanes]
-                if chunk.shape[0] != lanes:  # ragged tail: pad with lane 0
-                    pad = lanes - chunk.shape[0]
-                    chunk = np.concatenate([chunk, chunk[:1].repeat(pad, 0)])
-                    pending.append((self._run_batch_device(chunk, gk_arrays),
-                                    lanes - pad))
-                else:
-                    pending.append((self._run_batch_device(chunk, gk_arrays),
-                                    lanes))
-            for handle, count in pending:
-                if self._hi_dtype is not None:
-                    replies = packing.join_host(*jax.device_get(handle))
-                else:
-                    replies = jax.device_get(handle)
-                for qi in range(count):
-                    wire.save_ciphertexts(
-                        replies[qi], response.reply.add(), seal_ep=seal_ep
-                    )
-            return response
+            handle = self._batched_wide_async(all_queries, gk_arrays, seal_ep)
+            return self.finalize_response(handle)
         lanes = min(self._max_vmap_lanes(), all_queries.shape[0])
         for start in range(0, all_queries.shape[0], lanes):
             chunk = all_queries[start : start + lanes]
