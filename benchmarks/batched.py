@@ -76,6 +76,8 @@ def main():
         # pipeline (the wide kernel serves each request in one DB pass;
         # the worker thread overlaps reply downloads with later compute)
         n_req = max(2 * args.iters, 6)
+        for _ in server.process_stream(iter([request]), depth=1):
+            pass  # warm the async path's executables out of the timing
         t0 = time.perf_counter()
         for _ in server.process_stream((request for _ in range(n_req)), depth=3):
             pass
