@@ -54,6 +54,26 @@ def test_process_stream_matches_sequential(stack):
         list(server.process_stream(iter(reqs), depth=0))
 
 
+def test_key_digest_sampling():
+    """Small blobs hash fully; large blobs hash sampled windows — equal
+    blobs collide, blobs differing in any sampled window or in length
+    do not."""
+    d = PirServer._key_digest
+    small_a, small_b = b"a" * 1000, b"b" * 1000
+    assert d(small_a, b"") == d(small_a, b"")
+    assert d(small_a, b"") != d(small_b, b"")
+    assert d(small_a, b"") != d(b"", small_a)  # field separation
+    big = bytearray(1_000_000)
+    big2 = bytearray(big)
+    big2[5] = 1  # head window
+    big3 = bytearray(big)
+    big3[-5] = 1  # tail window
+    assert d(bytes(big), b"") == d(bytes(big), b"")
+    assert d(bytes(big), b"") != d(bytes(big2), b"")
+    assert d(bytes(big), b"") != d(bytes(big3), b"")
+    assert d(bytes(big), b"") != d(bytes(big) + b"x", b"")  # length
+
+
 def test_key_cache_hit_and_isolation(stack):
     params, raw, db, client, server = stack
     req = client.create_request([5])
