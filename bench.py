@@ -167,7 +167,10 @@ def measure_qps(db_size: int, max_iters: int, time_cap: float) -> float:
     # submits device work while a worker thread completes reply
     # transfers, so the reply download of request n overlaps the compute
     # of n+1..n+depth.  Replies still fully serialized and checked.
-    depth = 6
+    # depth 4: within noise of 6 at the 1M config over short windows and
+    # kinder to smaller DBs over sustained ones (deeper queues delay
+    # replies behind more queued compute through the in-order link).
+    depth = 4
     t0 = time.perf_counter()
     t_end = t0 + time_cap
 
@@ -280,7 +283,10 @@ def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--cpu-baseline-child", action="store_true")
     ap.add_argument("--accel-child", action="store_true")
-    ap.add_argument("--iters", type=int, default=20)
+    # iteration caps sized so the time caps (PIR_BENCH_MEASURE_CAP) bind
+    # first: short windows (~4s) were dominated by host-link jitter —
+    # repeated same-code 1M runs spread 14.9-17.7 q/s across two hours
+    ap.add_argument("--iters", type=int, default=150)
     args = ap.parse_args()
 
     db_size_env = int(os.environ.get("PIR_BENCH_DB_SIZE", 1 << 20))
